@@ -1,0 +1,114 @@
+"""Host-side input pipeline with double-buffered device prefetch.
+
+TPU-native replacement for the reference's ``DataLoader(num_workers=11)``
+(prepare_single_model.py:140-141): batches are assembled from in-memory
+numpy arrays (the datasets are small) and shipped to device one batch ahead
+of compute via ``jax.device_put``, so host->HBM transfer overlaps the train
+step.  Sharded prefetch places each batch directly into its NamedSharding.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class ArrayDataset:
+    """In-memory dataset of aligned arrays (imgs/masks/labels...)."""
+
+    def __init__(self, **arrays: Optional[np.ndarray]):
+        self.arrays = {k: v for k, v in arrays.items() if v is not None}
+        lens = {len(v) for v in self.arrays.values()}
+        if len(lens) > 1:
+            raise ValueError(f"misaligned arrays: { {k: len(v) for k, v in self.arrays.items()} }")
+        self.length = lens.pop() if lens else 0
+
+    def __len__(self) -> int:
+        return self.length
+
+    def keys(self):
+        return self.arrays.keys()
+
+
+def batch_indices(
+    n: int,
+    batch_size: int,
+    shuffle: bool,
+    rng: Optional[np.random.RandomState] = None,
+    drop_last: bool = False,
+    pad_to_batch: bool = False,
+) -> Iterator[np.ndarray]:
+    """Yield index arrays per batch. ``pad_to_batch`` repeats the tail so
+    every batch has a static shape (required to avoid XLA recompiles); a
+    ``valid`` mask should be derived by the caller when padding."""
+    order = np.arange(n)
+    if shuffle:
+        (rng or np.random).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            if pad_to_batch:
+                pad = np.resize(idx, batch_size)
+                yield pad
+                return
+        yield idx
+
+
+def prefetch_to_device(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    size: int = 2,
+    sharding=None,
+) -> Iterator[Dict[str, jax.Array]]:
+    """Double-buffered host->device transfer (size-1 lookahead by default).
+
+    With ``sharding`` (a ``jax.sharding.Sharding``), batches land directly in
+    their distributed layout so no reshard happens inside the step.
+    """
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+def iterate_batches(
+    dataset: ArrayDataset,
+    batch_size: int,
+    shuffle: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+    drop_last: bool = False,
+    pad_to_batch: bool = True,
+    prefetch: int = 2,
+    sharding=None,
+) -> Iterator[Dict[str, jax.Array]]:
+    """Batch iterator with static shapes, a validity mask and device prefetch."""
+
+    def host_batches():
+        for idx in batch_indices(
+            len(dataset), batch_size, shuffle, rng, drop_last, pad_to_batch
+        ):
+            batch = {k: v[idx] for k, v in dataset.arrays.items()}
+            valid = np.zeros(len(idx), np.float32)
+            # mark duplicated tail samples invalid for metric purposes
+            seen = set()
+            for i, j in enumerate(idx):
+                if j not in seen:
+                    valid[i] = 1.0
+                    seen.add(j)
+            batch["valid"] = valid
+            yield batch
+
+    yield from prefetch_to_device(host_batches(), size=prefetch, sharding=sharding)
