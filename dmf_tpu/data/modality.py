@@ -1,0 +1,78 @@
+"""Per-modality batch processing: augmentation + normalization + ADC append.
+
+One jitted XLA program per (modality, split) replaces the reference's
+per-sample torchvision Compose + DataLoader workers
+(prepare_single_model.py:107-141).  Pipeline order matches the reference:
+augment (train only) -> resize -> normalize -> append (un-augmented) ADC.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .augment import augment_batch, eval_resize
+from .preprocess import NyulStandardizer, append_adc, dwi_normalize
+
+
+class ModalityProcessor:
+    """Device-side processing for one modality.
+
+    ``adc_map`` (DWI only): the split's shared ADC map under reference
+    compat (prepare_single_model.py:319-332) or a per-sample map stack.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        method: str,
+        nyul: Optional[NyulStandardizer] = None,
+        adc_map: Optional[jnp.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.method = method
+        self.nyul = nyul
+        self.adc_map = adc_map
+        mc = cfg.model_config(method)
+        self.input_size = mc.input_size
+        if method == "dce" and nyul is None:
+            raise ValueError("DCE processing requires a fitted NyulStandardizer")
+
+        self._train_fn = jax.jit(self._process_train)
+        self._eval_fn = jax.jit(self._process_eval)
+
+    # -- normalization ------------------------------------------------------
+    def _normalize(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        if self.method == "dwi":
+            # compat: skip+zero the last raw b-value channel (the reference's
+            # effective behavior); fixed: z-score every b-value channel (the
+            # ADC channel is appended afterwards either way).
+            compat = self.cfg.reference_compat
+            return dwi_normalize(imgs, skip_last=compat, zero_last=compat)
+        return self.nyul.transform(imgs)
+
+    def _append_adc(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        if self.method == "dwi" and self.cfg.dwi_add_adc_map and self.adc_map is not None:
+            return append_adc(imgs, self.adc_map)
+        return imgs
+
+    # -- pipelines ----------------------------------------------------------
+    def _process_train(self, rng, imgs):
+        x = augment_batch(rng, imgs, self.input_size)
+        x = self._normalize(x)
+        return self._append_adc(x)
+
+    def _process_eval(self, imgs):
+        x = eval_resize(imgs, self.input_size)
+        x = self._normalize(x)
+        return self._append_adc(x)
+
+    def train_batch(self, rng, imgs) -> jnp.ndarray:
+        return self._train_fn(rng, jnp.asarray(imgs))
+
+    def eval_batch(self, imgs) -> jnp.ndarray:
+        return self._eval_fn(jnp.asarray(imgs))

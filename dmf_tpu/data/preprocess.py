@@ -24,15 +24,18 @@ def dwi_normalize(
     img: jnp.ndarray,
     clip_z: Tuple[float, float] = (-3.0, 3.0),
     skip_last: bool = True,
+    zero_last: bool = False,
 ) -> jnp.ndarray:
     """Per-image, per-channel z-score -> clip -> rescale to [0, 1].
 
-    ``img``: (..., H, W, C).  The last (ADC) channel is passed through
-    unchanged when ``skip_last`` (reference zeroes it: DWINormalize writes
-    into ``torch.zeros_like`` and never fills the ADC channel — but the ADC
-    channel is concatenated *after* the transform in the reference dataset
-    (dataset.py:79-88), so pass-through is the effective behavior when used
-    at the same pipeline position; see ``append_adc``).
+    ``img``: (..., H, W, C).  ``skip_last`` leaves the last channel
+    un-normalized (the reference reserves it for the ADC map,
+    dataset.py:20-22).  ``zero_last=True`` reproduces the reference's
+    *effective* behavior exactly: ``DWINormalize`` runs before the ADC
+    channel is concatenated (dataset.py:77-88), so "the last channel" it
+    skips is really the 13th b-value — and because it writes into
+    ``torch.zeros_like`` without copying that channel, the 13th b-value is
+    zeroed in every training image.  Used when cfg.reference_compat.
     """
     z_lo, z_hi = clip_z
     mean = img.mean(axis=(-3, -2), keepdims=True)
@@ -41,7 +44,8 @@ def dwi_normalize(
     z = jnp.clip((img - mean) / std, z_lo, z_hi)
     out = (z - z_lo) / (z_hi - z_lo)
     if skip_last:
-        out = jnp.concatenate([out[..., :-1], img[..., -1:]], axis=-1)
+        last = jnp.zeros_like(img[..., -1:]) if zero_last else img[..., -1:]
+        out = jnp.concatenate([out[..., :-1], last], axis=-1)
     return out
 
 

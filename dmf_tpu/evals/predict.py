@@ -1,0 +1,188 @@
+"""Uncertainty-aware inference: TTA / MC-dropout / TTA x MC as ONE compiled
+program.
+
+The reference runs 4 transforms x 10 MC passes as a Python double loop of
+full forwards per test batch (train.py:569-600) — its single biggest
+inference inefficiency (SURVEY.md §3.3).  Here the 4 TTA views are folded
+into the batch axis (one 4B-sized forward saturates the MXU) and the MC
+passes are a ``vmap`` over dropout rngs, so the whole 40-pass ensemble is
+one XLA program with no host round-trips.
+
+Semantics parity:
+* TTA views: identity, lr-flip, ud-flip, both (train.py:916-923);
+* MC mode: dropout active, BatchNorm frozen on running stats
+  (train.py:483-506) — our models thread this as ``train=False, mc=True``;
+* mean/std over the stacked pass axis with torch's unbiased std
+  (train.py:592-594).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+
+
+def tta_views(x: jnp.ndarray) -> jnp.ndarray:
+    """Stack the 4 TTA views into the batch axis: (B,H,W,C) -> (4B,H,W,C).
+
+    Order matches the reference transforms list (train.py:104-108):
+    id, flip_lr, flip_ud, flip_lrud.  NHWC: lr = W axis (-2), ud = H (-3).
+    """
+    return jnp.concatenate(
+        [x, x[:, :, ::-1], x[:, ::-1], x[:, ::-1, ::-1]], axis=0
+    )
+
+
+def _std(x, axis):
+    # torch Tensor.std default is unbiased (ddof=1)
+    return jnp.std(x, axis=axis, ddof=1)
+
+
+def make_single_predictor(
+    cfg: Config,
+    model,
+    mode: Optional[str] = None,
+    mc_passes: Optional[int] = None,
+) -> Callable:
+    """Build a jitted ``predict(variables, imgs, rng) -> (mean, std, aux)``.
+
+    Dispatch mirrors ``predict_custom`` (train.py:608-631).
+    """
+    mode = mode or cfg.test_mode
+    passes = mc_passes if mc_passes is not None else cfg.mc_passes
+
+    def fwd(variables, x, train=False, mc=False, rng=None):
+        rngs = {"dropout": rng} if rng is not None else None
+        return model.apply(variables, x, train=train, mc=mc, rngs=rngs)
+
+    def predict(variables, imgs, rng):
+        B = imgs.shape[0]
+        if mode == "normal":
+            logits, aux, _ = fwd(variables, imgs)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs, jnp.zeros_like(probs), aux
+
+        if mode == "tta":
+            xt = tta_views(imgs)
+            logits, aux, _ = fwd(variables, xt)
+            probs = jax.nn.softmax(logits, axis=-1).reshape(4, B, -1)
+            return probs.mean(0), _std(probs, 0), aux
+
+        if mode == "mc":
+            rngs = jax.random.split(rng, passes)
+
+            def one_pass(r):
+                logits, aux, _ = fwd(variables, imgs, mc=True, rng=r)
+                return jax.nn.softmax(logits, axis=-1), aux
+
+            probs, aux = jax.vmap(one_pass)(rngs)
+            last_aux = jax.tree.map(
+                lambda a: a[-1] if a is not None else None, aux,
+                is_leaf=lambda a: a is None,
+            )
+            return probs.mean(0), _std(probs, 0), last_aux
+
+        if mode == "tta_mc":
+            xt = tta_views(imgs)
+            rngs = jax.random.split(rng, passes)
+
+            def one_pass(r):
+                logits, aux, _ = fwd(variables, xt, mc=True, rng=r)
+                return jax.nn.softmax(logits, axis=-1), aux
+
+            probs, aux = jax.vmap(one_pass)(rngs)  # (P, 4B, C)
+            probs = probs.reshape(passes * 4, B, -1)
+            last_aux = jax.tree.map(
+                lambda a: a[-1] if a is not None else None, aux,
+                is_leaf=lambda a: a is None,
+            )
+            return probs.mean(0), _std(probs, 0), last_aux
+
+        raise ValueError(f"Unknown predict mode: {mode}")
+
+    return jax.jit(predict)
+
+
+def make_fusion_predictor(
+    cfg: Config,
+    dwi_model,
+    dce_model,
+    fusion_model,
+    mode: Optional[str] = None,
+    mc_passes: Optional[int] = None,
+) -> Callable:
+    """Fusion inference: both encoders + fusion per pass, fully vectorized.
+
+    Reference: LightningFusionModel predict paths (train_fusion.py:485-701)
+    rerun both encoders inside the Python TTA/MC double loop; here the whole
+    ensemble is one compiled program.
+
+    Returns ``predict(dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs,
+    rng) -> (mean_probs, std_probs, aux)``.
+    """
+    mode = mode or cfg.test_mode
+    passes = mc_passes if mc_passes is not None else cfg.mc_passes
+
+    def fusion_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        _, dwi_aux, dwi_mask = dwi_model.apply(
+            dwi_vars, dwi_x, train=False, mc=mc, rngs=rngs
+        )
+        _, dce_aux, dce_mask = dce_model.apply(
+            dce_vars, dce_x, train=False, mc=mc, rngs=rngs
+        )
+        logits, fused_mask, aux = fusion_model.apply(
+            fusion_vars,
+            dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_mask, dce_mask,
+            train=False, mc=mc, rngs=rngs,
+        )
+        return logits, aux
+
+    def predict(dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs, rng):
+        B = dwi_imgs.shape[0]
+
+        if mode == "normal":
+            logits, aux = fusion_fwd(
+                dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs, False, None
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs, jnp.zeros_like(probs), aux
+
+        if mode == "tta":
+            xt_dwi, xt_dce = tta_views(dwi_imgs), tta_views(dce_imgs)
+            logits, aux = fusion_fwd(
+                dwi_vars, dce_vars, fusion_vars, xt_dwi, xt_dce, False, None
+            )
+            probs = jax.nn.softmax(logits, axis=-1).reshape(4, B, -1)
+            return probs.mean(0), _std(probs, 0), aux
+
+        if mode in ("mc", "tta_mc"):
+            if mode == "tta_mc":
+                x_dwi, x_dce = tta_views(dwi_imgs), tta_views(dce_imgs)
+                n_views = 4
+            else:
+                x_dwi, x_dce = dwi_imgs, dce_imgs
+                n_views = 1
+            rngs = jax.random.split(rng, passes)
+
+            def one_pass(r):
+                logits, aux = fusion_fwd(
+                    dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True, r
+                )
+                return jax.nn.softmax(logits, axis=-1), aux
+
+            probs, aux = jax.vmap(one_pass)(rngs)
+            probs = probs.reshape(passes * n_views, B, -1)
+            last_aux = jax.tree.map(
+                lambda a: a[-1] if a is not None else None, aux,
+                is_leaf=lambda a: a is None,
+            )
+            return probs.mean(0), _std(probs, 0), last_aux
+
+        raise ValueError(f"Unknown predict mode: {mode}")
+
+    return jax.jit(predict)

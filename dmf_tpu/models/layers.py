@@ -1,0 +1,306 @@
+"""Core Flax building blocks (NHWC, bf16-friendly).
+
+TPU-native re-designs of the reference's nn.Modules (model_module.py:25-396):
+same math, channels-last layout, BatchNorm/Dropout threaded through explicit
+``train``/``mc`` flags so MC-dropout inference (dropout on, BN frozen —
+train.py:483-506) is a pure function of the rng.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import adaptive_avg_pool, global_avg_pool, resize_bilinear
+
+# torch-parity initializers:
+#  - convs keep torch's default kaiming_uniform(a=sqrt(5)) ≡ U(±sqrt(1/fan_in))
+#  - Linear layers get the reference's explicit kaiming_uniform(a=0)
+#    (model_module.py:1002-1008) ≡ U(±sqrt(6/fan_in))
+#  - BatchNorm scale ~ N(1, 0.02), bias 0 (model_module.py:1009-1013)
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+linear_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch-default hyperparams and reference init."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch momentum 0.1
+            epsilon=1e-5,
+            dtype=self.dtype,
+            scale_init=bn_scale_init,
+        )(x)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excitation returning ``(x * w, w)``.
+
+    Reference: model_module.py:25-47 (reduction=2; also aliased as
+    TemporalAttention / ChannelAttention modality attention over the raw
+    input channels, model_module.py:584-591).
+    """
+
+    channels: int
+    reduction: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mid = max(self.channels // self.reduction, 1)
+        w = global_avg_pool(x)  # (B, C)
+        w = nn.Dense(mid, dtype=self.dtype, kernel_init=conv_kernel_init)(w)
+        w = nn.gelu(w, approximate=False)
+        w = nn.Dense(self.channels, dtype=self.dtype, kernel_init=conv_kernel_init)(w)
+        w = nn.sigmoid(w)
+        w = w[:, None, None, :]
+        return x * w, w
+
+
+class MaskGuidedSpatialAttention(nn.Module):
+    """Modulate features by an attention map learned from the predicted mask.
+
+    Reference: model_module.py:49-97 — ``out = x * (1 + gamma * A)`` with
+    learnable gamma (init 0.1) and A clamped to (1e-4, 1-1e-4).
+    """
+
+    hidden_channels: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img_features, mask_features):
+        gamma = self.param("gamma", lambda k: jnp.asarray(0.1, jnp.float32))
+        target = img_features.shape[-3:-1]
+        mask_up = resize_bilinear(mask_features, target)
+        a = nn.Conv(
+            self.hidden_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            kernel_init=conv_kernel_init,
+        )(mask_up)
+        a = nn.GroupNorm(num_groups=1, dtype=self.dtype)(a)
+        a = nn.gelu(a, approximate=False)
+        a = nn.Conv(1, (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init)(a)
+        a = nn.sigmoid(a)
+        a = jnp.clip(a, 1e-4, 1.0 - 1e-4)
+        return img_features * (1.0 + gamma * a), a
+
+
+class ReconHead(nn.Module):
+    """3x3 conv -> BN -> GELU -> 3x3 conv reconstruction head.
+
+    Reference: model_module.py:100-125.
+    """
+
+    in_ch: int
+    recon_ch: int = 1
+    upsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = nn.Conv(
+            self.in_ch, (3, 3), use_bias=False, dtype=self.dtype,
+            kernel_init=conv_kernel_init,
+        )(x)
+        out = BatchNorm(self.dtype)(out, train)
+        out = nn.gelu(out, approximate=False)
+        out = nn.Conv(self.recon_ch, (3, 3), dtype=self.dtype,
+                      kernel_init=conv_kernel_init)(out)
+        if self.upsample:
+            out = resize_bilinear(out, (out.shape[-3] * 2, out.shape[-2] * 2))
+        return out
+
+
+class MaskHeadResize(nn.Module):
+    """Mask head: 1x1 proj -> strided-conv chain down to ``out_size``.
+
+    Reference: model_module.py:131-215.  The reference builds a static
+    dispatch table over input sizes {32,64,128,256,512}; with XLA the input
+    size is static at trace time, so only the required chain is materialized.
+    Falls back to bilinear interpolation for non-power-of-two sizes, like the
+    reference's ``"interp"`` branch.
+    """
+
+    mid_ch: int = 64
+    out_ch: int = 1
+    out_size: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.mid_ch, (1, 1), dtype=self.dtype,
+                    kernel_init=conv_kernel_init)(x)
+        size = x.shape[-2]
+        if size in (64, 128, 256, 512) and size > self.out_size:
+            steps = 0
+            s = size
+            while s > self.out_size:
+                s //= 2
+                steps += 1
+            for _ in range(steps):
+                x = nn.Conv(
+                    self.mid_ch, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    kernel_init=conv_kernel_init,
+                )(x)
+                x = nn.gelu(x, approximate=False)
+        elif size != self.out_size:
+            x = resize_bilinear(x, (self.out_size, self.out_size))
+        return nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                       kernel_init=conv_kernel_init)(x)
+
+
+class ResLiteBlock(nn.Module):
+    """Residual bottleneck stack with optional SE and reconstruction head.
+
+    Reference: ``ResNetLiteBlock_withRecon`` (model_module.py:220-316).
+    Returns ``(features, recon_or_None)``.
+    """
+
+    in_ch: int
+    out_ch: int
+    downsample: bool = False
+    recon_ch: int = 1
+    use_se: bool = False
+    se_reduction: int = 2
+    dropout: float = 0.4
+    num_repeats: int = 1
+    downsample_each_repeat: bool = False
+    mid_squeeze: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, mc: bool = False):
+        stride = 2 if self.downsample else 1
+        mid_ch = max(self.out_ch // self.mid_squeeze, 1)
+        drop_off = not (train or mc)
+
+        # skip over the whole stack
+        if stride > 1 or self.in_ch != self.out_ch:
+            identity = nn.Conv(
+                self.out_ch, (1, 1), strides=(stride, stride), use_bias=False,
+                dtype=self.dtype, kernel_init=conv_kernel_init, name="skip_conv",
+            )(x)
+            identity = BatchNorm(self.dtype)(identity, train)
+        else:
+            identity = x
+
+        out = x
+        for i in range(self.num_repeats):
+            if self.downsample_each_repeat:
+                b_stride = stride
+            else:
+                b_stride = stride if i == 0 else 1
+            out = nn.Conv(
+                mid_ch, (1, 1), strides=(b_stride, b_stride), use_bias=False,
+                dtype=self.dtype, kernel_init=conv_kernel_init,
+            )(out)
+            out = BatchNorm(self.dtype)(out, train)
+            out = nn.gelu(out, approximate=False)
+            out = nn.Dropout(self.dropout, deterministic=drop_off)(out)
+            out = nn.Conv(mid_ch, (3, 3), use_bias=False, dtype=self.dtype,
+                          kernel_init=conv_kernel_init)(out)
+            out = BatchNorm(self.dtype)(out, train)
+            out = nn.gelu(out, approximate=False)
+            out = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                          kernel_init=conv_kernel_init)(out)
+            out = BatchNorm(self.dtype)(out, train)
+
+        out = nn.gelu(out + identity, approximate=False)
+        out = nn.Dropout(self.dropout, deterministic=drop_off)(out)
+
+        if self.use_se:
+            out, _ = SEBlock(self.out_ch, self.se_reduction, self.dtype,
+                             name="se")(out)
+
+        recon = None
+        if self.recon_ch > 0:
+            recon = ReconHead(self.out_ch, self.recon_ch, dtype=self.dtype,
+                              name="reconstruct")(out, train)
+        return out, recon
+
+
+class Projector(nn.Module):
+    """Two 1x1 conv+BN+GELU stages to ``proj_dim`` channels.
+
+    Reference: model_module.py:323-348 (mimic-loss projection heads).
+    """
+
+    proj_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(2):
+            x = nn.Conv(self.proj_dim, (1, 1), use_bias=False, dtype=self.dtype,
+                        kernel_init=conv_kernel_init)(x)
+            x = BatchNorm(self.dtype)(x, train)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class ClassificationHead(nn.Module):
+    """Global pool -> flatten -> L2 normalize -> Linear.
+
+    Reference: model_module.py:355-369 (note the L2 normalization before the
+    final linear — load-bearing for the focal-loss dynamics).
+    """
+
+    num_classes: int
+    normalize: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = global_avg_pool(x)
+        if self.normalize:
+            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            kernel_init=linear_kernel_init,
+        )(x)
+
+
+class FeatureDownAlign(nn.Module):
+    """Channel/stride alignment conv. Reference: model_module.py:371-396."""
+
+    in_ch: int
+    out_ch: int
+    downsample: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.in_ch == self.out_ch and not self.downsample:
+            return x
+        stride = 2 if self.downsample else 1
+        k = 3 if self.downsample else 1
+        x = nn.Conv(self.out_ch, (k, k), strides=(stride, stride),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_kernel_init)(x)
+        x = BatchNorm(self.dtype)(x, train)
+        return nn.gelu(x, approximate=False)
+
+
+class FusionReduce(nn.Module):
+    """1x1 conv + BN + GELU channel reduction. Reference: model_module.py:782-794."""
+
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_kernel_init)(x)
+        x = BatchNorm(self.dtype)(x, train)
+        return nn.gelu(x, approximate=False)

@@ -1,0 +1,61 @@
+"""Attention primitives: XLA reference path + Pallas flash kernel dispatch.
+
+Replaces the reference's hand-rolled MHSA (transformer_model.py:83-116) and
+``nn.MultiheadAttention`` cross-attention (model_module.py:799-818).  The
+public entry point is :func:`scaled_dot_product_attention`, which routes to a
+blocked Pallas flash-attention kernel on TPU for large token counts and to a
+fused XLA einsum path otherwise (16-token cross-attention would be all
+overhead in a custom kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, scale):
+    # q,k,v: (B, H, N, D)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    return out, weights
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    return_weights: bool = False,
+    use_pallas: Optional[bool] = None,
+):
+    """Multi-head attention over (B, H, N, D) tensors.
+
+    Returns ``out`` or ``(out, weights)``.  The Pallas path never
+    materializes the (N, N) weight matrix, so ``return_weights`` forces the
+    XLA path.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if use_pallas is None:
+        use_pallas = (
+            not return_weights
+            and q.shape[-2] >= 512
+            and q.shape[-2] == k.shape[-2]
+            and q.shape[-2] % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+
+    if use_pallas:
+        from .flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, scale=scale)
+        return (out, None) if return_weights else out
+
+    out, weights = _xla_attention(q, k, v, scale)
+    return (out, weights) if return_weights else out

@@ -1,0 +1,29 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    auto_mesh_shape,
+    batch_sharding,
+    local_mesh,
+    make_mesh,
+    replicated,
+)
+from .sharding import (
+    make_spmd_step,
+    param_spec,
+    shard_state,
+    state_shardings,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "auto_mesh_shape",
+    "batch_sharding",
+    "local_mesh",
+    "make_mesh",
+    "replicated",
+    "make_spmd_step",
+    "param_spec",
+    "shard_state",
+    "state_shardings",
+]

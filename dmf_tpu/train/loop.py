@@ -1,0 +1,333 @@
+"""Epoch-level training loop for single-modality encoders.
+
+Replaces ``pl.Trainer.fit`` + ``LightningSingleModel`` orchestration
+(run_training.py:103-131, train.py): compiled train/eval steps on device, a
+thin metric-driven control loop on the host (plateau LR, early stopping,
+min_epochs, unfreeze timer, aux-loss weight schedule, best-checkpointing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.modality import ModalityProcessor
+from ..data.pipeline import ArrayDataset, iterate_batches
+from ..evals.metrics import MeanMetric, classification_report
+from ..losses import get_classification_loss_fn, get_mask_loss_fn
+from ..utils.checkpoint import BestCheckpointer
+from ..utils.logging import MetricLogger
+from .optim import build_group_spec
+from .schedule import EarlyStopping, ReduceLROnPlateau, aux_loss_weight, make_scheduler
+from .single import make_single_eval_step, make_single_train_step
+from .state import TrainState
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    best_state: Optional[TrainState]
+    history: list
+    train_metrics: Dict[str, float]
+
+
+def init_single_state(cfg: Config, model, sample_batch, seed: int = 0) -> TrainState:
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
+        sample_batch,
+        train=False,
+    )
+    return TrainState.create(variables)
+
+
+def fit_single(
+    cfg: Config,
+    method: str,
+    model,
+    state: TrainState,
+    train_data: Dict[str, np.ndarray],
+    val_data: Dict[str, np.ndarray],
+    processor: ModalityProcessor,
+    controller,
+    workdir: str,
+    clf_loss_fn=None,
+    num_epochs: Optional[int] = None,
+    min_epochs: Optional[int] = None,
+    seed: int = 0,
+    log_every: int = 1,
+) -> FitResult:
+    """Train one encoder; returns final + best states and epoch history.
+
+    ``train_data``/``val_data``: dicts with raw (un-processed) ``imgs``,
+    optional ``masks`` (already mask_target_size), ``labels``.
+    """
+    mc = cfg.model_config(method)
+    num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    min_epochs = min_epochs if min_epochs is not None else cfg.min_epochs
+    min_epochs = min(min_epochs, num_epochs)
+
+    if clf_loss_fn is None:
+        clf_loss_fn = get_classification_loss_fn(cfg, train_data["labels"], method)
+    mask_loss_fn = get_mask_loss_fn(cfg, method)
+
+    spec = build_group_spec(
+        state.params, mc.use_backbone, cfg.reference_compat
+    )
+    train_step = make_single_train_step(
+        cfg, method, model, clf_loss_fn, mask_loss_fn, spec
+    )
+    eval_step = make_single_eval_step(cfg, method, model, clf_loss_fn, mask_loss_fn)
+
+    scheduler = make_scheduler(mc.scheduler, mc.optimizer.lr)
+    early = EarlyStopping(
+        mode=cfg.early_stopping.mode,
+        patience=cfg.early_stopping.patience,
+        min_delta=cfg.early_stopping.min_delta,
+    )
+    ckpt = BestCheckpointer(f"{workdir}/checkpoints", monitor="val_acc", mode="max")
+    logger = MetricLogger(f"{workdir}/logs")
+
+    train_ds = ArrayDataset(
+        imgs=train_data["imgs"], masks=train_data.get("masks"),
+        labels=train_data["labels"],
+    )
+    # eval inputs are deterministic: process once, reuse every epoch
+    val_imgs = np.asarray(processor.eval_batch(val_data["imgs"]))
+    val_ds = ArrayDataset(
+        imgs=val_imgs, masks=val_data.get("masks"), labels=val_data["labels"]
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.RandomState(seed)
+    history = []
+    best_state = None
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        controller.on_epoch_start(epoch)
+        hp = controller.hyperparams()
+        aux_w = aux_loss_weight(
+            epoch, cfg.aux_loss_weight_epoch_limit, cfg.use_simple_aux_loss_scheduling
+        )
+
+        # ---- train ----
+        train_meters: Dict[str, MeanMetric] = {}
+        for batch in iterate_batches(
+            train_ds, cfg.batch_size, shuffle=True, rng=np_rng
+        ):
+            rng, aug_key, drop_key = jax.random.split(rng, 3)
+            proc = {
+                "imgs": processor.train_batch(aug_key, batch["imgs"]),
+                "labels": batch["labels"].astype(jnp.int32),
+                "aux_w": jnp.asarray(aux_w, jnp.float32),
+            }
+            if "masks" in batch:
+                proc["masks"] = batch["masks"]
+            state, metrics = train_step(state, proc, drop_key, hp)
+            for k, v in metrics.items():
+                train_meters.setdefault(k, MeanMetric()).update(float(v))
+
+        epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
+
+        # ---- validation ----
+        val_meters: Dict[str, MeanMetric] = {}
+        all_probs, all_labels = [], []
+        for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False):
+            proc = {"imgs": batch["imgs"], "labels": batch["labels"].astype(jnp.int32)}
+            if "masks" in batch:
+                proc["masks"] = batch["masks"]
+            logits, probs, metrics = eval_step(state, proc)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_probs.append(np.asarray(probs)[valid])
+            all_labels.append(np.asarray(batch["labels"])[valid])
+            for k, v in metrics.items():
+                val_meters.setdefault(k, MeanMetric()).update(
+                    float(v), weight=valid.sum()
+                )
+        probs = np.concatenate(all_probs)
+        labels = np.concatenate(all_labels).astype(np.int64)
+        epoch_metrics.update({f"val_{k}": m.compute() for k, m in val_meters.items()})
+        epoch_metrics.update(classification_report(probs, labels, cfg.class_num, "val_"))
+        epoch_metrics["lr_scale"] = controller.lr_scale
+        epoch_metrics["aux_w"] = aux_w
+        epoch_metrics["epoch_time"] = time.time() - t0
+
+        # ---- control plane ----
+        if isinstance(scheduler, ReduceLROnPlateau):
+            monitored = epoch_metrics.get(
+                mc.scheduler.monitor.replace("val_loss", "val_loss"), None
+            )
+            if monitored is None:
+                monitored = epoch_metrics["val_loss"]
+            controller.lr_scale = scheduler.step(monitored)
+        else:
+            controller.lr_scale = scheduler.step_scale(epoch)
+
+        if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):
+            best_state = jax.device_get(state)
+
+        history.append(epoch_metrics)
+        if epoch % log_every == 0:
+            logger.log_epoch(epoch, epoch_metrics)
+
+        stop_metric = epoch_metrics.get(cfg.early_stopping.metric)
+        if stop_metric is not None and early.step(stop_metric):
+            if epoch + 1 >= min_epochs:
+                break
+
+    logger.close()
+    train_metrics = history[-1] if history else {}
+    return FitResult(
+        state=state, best_state=best_state, history=history,
+        train_metrics=train_metrics,
+    )
+
+
+def fit_fusion(
+    cfg: Config,
+    dwi_model,
+    dce_model,
+    fusion_model,
+    state: TrainState,
+    train_data: Dict[str, np.ndarray],
+    val_data: Dict[str, np.ndarray],
+    workdir: str,
+    clf_loss_fn=None,
+    num_epochs: Optional[int] = None,
+    min_epochs: Optional[int] = None,
+    seed: int = 0,
+    log_every: int = 1,
+) -> FitResult:
+    """Fusion training epoch loop (run_training.py:181-263 equivalent).
+
+    ``train_data``/``val_data``: dicts with **processed** ``dwi`` and ``dce``
+    image stacks (the reference trains fusion from cached post-transform
+    tensors, prepare_single_model.py:154-174), optional ``masks``, and
+    ``labels``.
+    """
+    from ..losses import get_mask_loss_fn as _get_mask
+    from .fusion import (
+        build_fusion_group_spec,
+        make_fusion_eval_step,
+        make_fusion_train_step,
+    )
+    from .optim import FusionOptController
+
+    fp = cfg.fusion_model
+    num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    min_epochs = min_epochs if min_epochs is not None else cfg.min_epochs
+    min_epochs = min(min_epochs, num_epochs)
+
+    if clf_loss_fn is None:
+        clf_loss_fn = get_classification_loss_fn(cfg, train_data["labels"], "fusion")
+    mask_loss_fn = _get_mask(cfg, "fusion")
+
+    spec = build_fusion_group_spec(state.params, cfg)
+    controller = FusionOptController(cfg)
+    train_step = make_fusion_train_step(
+        cfg, dwi_model, dce_model, fusion_model, clf_loss_fn, mask_loss_fn, spec
+    )
+    eval_step = make_fusion_eval_step(
+        cfg, dwi_model, dce_model, fusion_model, clf_loss_fn, mask_loss_fn
+    )
+
+    scheduler = make_scheduler(fp.scheduler, fp.optimizer.lr)
+    early = EarlyStopping(
+        mode=cfg.early_stopping.mode,
+        patience=cfg.early_stopping.patience,
+        min_delta=cfg.early_stopping.min_delta,
+    )
+    ckpt = BestCheckpointer(f"{workdir}/checkpoints", monitor="val_acc", mode="max")
+    logger = MetricLogger(f"{workdir}/logs")
+
+    train_ds = ArrayDataset(
+        dwi=train_data["dwi"], dce=train_data["dce"],
+        masks=train_data.get("masks"), labels=train_data["labels"],
+    )
+    val_ds = ArrayDataset(
+        dwi=val_data["dwi"], dce=val_data["dce"],
+        masks=val_data.get("masks"), labels=val_data["labels"],
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.RandomState(seed)
+    history = []
+    best_state = None
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        controller.on_epoch_start(epoch)
+        controller.lr_scale = getattr(controller, "lr_scale", 1.0)
+        hp = controller.hyperparams()
+        aux_w = aux_loss_weight(
+            epoch, cfg.aux_loss_weight_epoch_limit, cfg.use_simple_aux_loss_scheduling
+        )
+
+        train_meters: Dict[str, MeanMetric] = {}
+        for batch in iterate_batches(train_ds, cfg.batch_size, shuffle=True,
+                                     rng=np_rng):
+            rng, drop_key = jax.random.split(rng)
+            proc = {
+                "dwi": batch["dwi"], "dce": batch["dce"],
+                "labels": batch["labels"].astype(jnp.int32),
+                "aux_w": jnp.asarray(aux_w, jnp.float32),
+            }
+            if "masks" in batch:
+                proc["masks"] = batch["masks"]
+            state, metrics = train_step(state, proc, drop_key, hp)
+            for k, v in metrics.items():
+                train_meters.setdefault(k, MeanMetric()).update(float(v))
+        epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
+
+        val_meters: Dict[str, MeanMetric] = {}
+        all_probs, all_labels = [], []
+        for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False):
+            proc = {
+                "dwi": batch["dwi"], "dce": batch["dce"],
+                "labels": batch["labels"].astype(jnp.int32),
+            }
+            if "masks" in batch:
+                proc["masks"] = batch["masks"]
+            logits, probs, metrics = eval_step(state, proc)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_probs.append(np.asarray(probs)[valid])
+            all_labels.append(np.asarray(batch["labels"])[valid])
+            for k, v in metrics.items():
+                val_meters.setdefault(k, MeanMetric()).update(
+                    float(v), weight=valid.sum()
+                )
+        probs = np.concatenate(all_probs)
+        labels = np.concatenate(all_labels).astype(np.int64)
+        epoch_metrics.update({f"val_{k}": m.compute() for k, m in val_meters.items()})
+        epoch_metrics.update(classification_report(probs, labels, cfg.class_num, "val_"))
+        epoch_metrics["lr_scale"] = controller.lr_scale
+        epoch_metrics["aux_w"] = aux_w
+        epoch_metrics["epoch_time"] = time.time() - t0
+
+        if isinstance(scheduler, ReduceLROnPlateau):
+            controller.lr_scale = scheduler.step(epoch_metrics["val_loss"])
+        else:
+            controller.lr_scale = scheduler.step_scale(epoch)
+
+        if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):
+            best_state = jax.device_get(state)
+        history.append(epoch_metrics)
+        if epoch % log_every == 0:
+            logger.log_epoch(epoch, epoch_metrics)
+
+        stop_metric = epoch_metrics.get(cfg.early_stopping.metric)
+        if stop_metric is not None and early.step(stop_metric):
+            if epoch + 1 >= min_epochs:
+                break
+
+    logger.close()
+    return FitResult(
+        state=state, best_state=best_state, history=history,
+        train_metrics=history[-1] if history else {},
+    )

@@ -1,0 +1,94 @@
+"""Checkpointing via Orbax, keyed on a monitored metric.
+
+Replaces Lightning ``ModelCheckpoint(monitor='val_acc', mode='max', top-1,
+filename='best')`` (run_training.py:93-99) and the best-reload after fit
+(run_training.py:123-131).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+
+
+class BestCheckpointer:
+    """Keep the single best checkpoint by a monitored metric."""
+
+    def __init__(self, directory: str, monitor: str = "val_acc", mode: str = "max"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.best_path: Optional[str] = None
+
+    def _improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def maybe_save(self, state: Any, metrics: dict, epoch: int) -> bool:
+        value = metrics.get(self.monitor)
+        if value is None or not self._improved(float(value)):
+            return False
+        self.best = float(value)
+        self.best_path = os.path.join(self.directory, "best")
+        save_pytree(self.best_path, state)
+        with open(os.path.join(self.directory, "best.json"), "w") as f:
+            json.dump({"epoch": epoch, self.monitor: self.best}, f)
+        return True
+
+    def restore_best(self, target: Any) -> Any:
+        if self.best_path is None:
+            best = os.path.join(self.directory, "best")
+            if not os.path.exists(best + ".msgpack"):
+                raise FileNotFoundError(f"no best checkpoint in {self.directory}")
+            self.best_path = best
+        return restore_pytree(self.best_path, target)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Serialize a pytree (flax msgpack — fast, single file, portable)."""
+    from flax import serialization
+
+    data = serialization.to_bytes(tree)
+    with open(path + ".msgpack", "wb") as f:
+        f.write(data)
+
+
+def restore_pytree(path: str, target: Any) -> Any:
+    from flax import serialization
+
+    with open(path + ".msgpack", "rb") as f:
+        data = f.read()
+    restored = serialization.from_bytes(target, data)
+    return restored
+
+
+class OrbaxCheckpointer:
+    """Async Orbax checkpointing for large states (multi-host safe).
+
+    Used for periodic resume checkpoints; ``BestCheckpointer`` covers the
+    best-metric snapshot.  Gated so environments without orbax still work.
+    """
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, step: int, state: Any) -> None:
+        path = os.path.join(self.directory, f"step_{step}")
+        self._ckptr.save(path, state, force=True)
+
+    def restore(self, step: int, target: Any) -> Any:
+        path = os.path.join(self.directory, f"step_{step}")
+        return self._ckptr.restore(path, target)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()

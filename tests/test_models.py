@@ -1,0 +1,161 @@
+"""Model shape/behavior tests under jit (no backbone; backbone tests live in
+test_backbones.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmf_tpu.config import default_parameters
+from dmf_tpu.models import Encoder, FusionModel, ResLiteBlock, TransformerStage
+
+
+def small_model_cfg(**over):
+    cfg = default_parameters()
+    mc = dataclasses.replace(
+        cfg.dwi_model,
+        channels=(16, 32, 64),
+        input_size=32,
+        use_backbone=False,
+        transformer_embed_dim=32,
+        transformer_depth=1,
+        transformer_heads=2,
+        **over,
+    )
+    return mc
+
+
+def init_and_apply(module, *args, train=False, mc=False, rngs=None):
+    key = jax.random.PRNGKey(0)
+    rngs = rngs or {"params": key, "dropout": jax.random.PRNGKey(1)}
+    variables = module.init(rngs, *args, train=train, mc=mc)
+    out, mutated = module.apply(
+        variables, *args, train=train, mc=mc,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"] if train else [],
+    )
+    return out, variables
+
+
+class TestResLiteBlock:
+    def test_shapes_and_recon(self):
+        blk = ResLiteBlock(in_ch=4, out_ch=8, downsample=True, recon_ch=1,
+                           use_se=True)
+        x = jnp.ones((2, 16, 16, 4))
+        (out, recon), _ = init_and_apply(blk, x, train=True)
+        assert out.shape == (2, 8, 8, 8)
+        assert recon.shape == (2, 8, 8, 1)
+
+    def test_no_recon(self):
+        blk = ResLiteBlock(in_ch=4, out_ch=4, recon_ch=0)
+        x = jnp.ones((2, 8, 8, 4))
+        (out, recon), _ = init_and_apply(blk, x)
+        assert recon is None
+        assert out.shape == x.shape
+
+
+class TestEncoder:
+    @pytest.mark.parametrize("mask_stage", ["f1", "f2", "f3"])
+    def test_forward_shapes(self, mask_stage):
+        mc = small_model_cfg()
+        mc = dataclasses.replace(
+            mc, mask=dataclasses.replace(mc.mask, mask_stage=mask_stage)
+        )
+        enc = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4)
+        x = jnp.ones((2, 32, 32, 5))
+        (logits, aux, mask_pred), _ = init_and_apply(enc, x)
+        assert logits.shape == (2, 4)
+        assert mask_pred.shape == (2, 32, 32, 1)
+        f1, f2, f3 = aux["raw_feats"]
+        assert f1.shape == (2, 16, 16, 16)  # downsample at block1
+        assert f2.shape == (2, 16, 16, 32)
+        assert f3.shape == (2, 16, 16, 64)
+        r1, r2 = aux["recon_feats"]
+        assert r1.shape[-1] == 1 and r2.shape[-1] == 1
+        p1, p1_r, p2, p2_r = aux["proj_pairs"]
+        assert p1.shape == (2, 64, 64, 64)  # pooled to (proj_dim, proj_dim)
+        assert aux["mod_attn_map"].shape == (2, 1, 1, 5)
+
+    def test_hybrid_transformer(self):
+        mc = small_model_cfg(use_hybrid_transformer=True)
+        enc = Encoder(method="dce", config=mc, channel_num=6, num_classes=4)
+        x = jnp.ones((2, 32, 32, 6))
+        (logits, aux, mask_pred), _ = init_and_apply(enc, x)
+        assert logits.shape == (2, 4)
+        # transformer patchify (patch 2) halves the f2 map
+        assert aux["raw_feats"][2].shape == (2, 8, 8, 64)
+
+    def test_mc_dropout_stochastic_bn_frozen(self):
+        mc = small_model_cfg()
+        enc = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4)
+        x = jnp.ones((2, 32, 32, 5))
+        variables = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+
+        def fwd(rng):
+            logits, _, _ = enc.apply(
+                variables, x, train=False, mc=True, rngs={"dropout": rng}
+            )
+            return logits
+
+        a = fwd(jax.random.PRNGKey(10))
+        b = fwd(jax.random.PRNGKey(11))
+        assert not np.allclose(np.asarray(a), np.asarray(b)), (
+            "MC dropout must produce stochastic outputs"
+        )
+        # eval mode (no mc) must be deterministic
+        c1, _, _ = enc.apply(variables, x, train=False)
+        c2, _, _ = enc.apply(variables, x, train=False)
+        assert np.allclose(np.asarray(c1), np.asarray(c2))
+
+    def test_jit_compiles(self):
+        mc = small_model_cfg()
+        enc = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4)
+        x = jnp.ones((2, 32, 32, 5))
+        variables = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        fwd = jax.jit(lambda v, x: enc.apply(v, x, train=False)[0])
+        logits = fwd(variables, x)
+        assert logits.shape == (2, 4)
+
+
+class TestFusionModel:
+    def test_forward(self):
+        cfg = default_parameters()
+        fmc = dataclasses.replace(
+            small_model_cfg(),
+            fusion_specific=dataclasses.replace(
+                cfg.fusion_model.fusion_specific,
+                fusion_channels=32,
+                dwi_out_channels=64,
+                dce_out_channels=64,
+            ),
+        )
+        fusion = FusionModel(config=fmc, num_classes=4)
+        f3 = jnp.ones((2, 16, 16, 64))
+        feats = [jnp.ones((2, 16, 16, 16)), jnp.ones((2, 16, 16, 32)), f3]
+        masks = jnp.ones((2, 32, 32, 1))
+        (logits, fused_mask, aux), _ = init_and_apply(
+            fusion, feats, feats, masks, masks
+        )
+        assert logits.shape == (2, 4)
+        assert fused_mask.shape == (2, 32, 32, 1)
+        assert aux["gating_weights"].shape == (2, 2)
+        assert np.allclose(np.asarray(aux["gating_weights"]).sum(axis=1), 1.0,
+                           atol=1e-5)
+        assert aux["attn_weights"].shape == (2, 16, 16)  # (B, Nq, Nk) head-avg
+        assert aux["recon_fused"].shape == (2, 16, 16, 1)
+
+
+class TestTransformerStage:
+    def test_roundtrip_shape(self):
+        stage = TransformerStage(embed_dim=32, depth=2, heads=4, patch_size=2)
+        x = jnp.ones((2, 16, 16, 8))
+        out, _ = init_and_apply(stage, x)
+        assert out.shape == (2, 8, 8, 32)

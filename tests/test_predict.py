@@ -1,0 +1,128 @@
+"""TTA x MC inference invariants — the reference debug suite's checks
+(debug_suite.py:140-199) as proper tests, against the vmapped predictors."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmf_tpu.config import default_parameters
+from dmf_tpu.evals import make_fusion_predictor, make_single_predictor, tta_views
+from dmf_tpu.models import Encoder, FusionModel
+
+
+def tiny_cfg(**kw):
+    cfg = default_parameters(mc_passes=4, **kw)
+    mc = dataclasses.replace(
+        cfg.dwi_model, channels=(8, 16, 32), input_size=32,
+        use_backbone=False, proj_dim=8, dropout=0.3,
+    )
+    fs = dataclasses.replace(
+        cfg.fusion_model.fusion_specific, fusion_channels=16,
+        dwi_out_channels=32, dce_out_channels=32,
+    )
+    fmc = dataclasses.replace(mc, fusion_specific=fs)
+    return cfg.replace(dwi_model=mc, dce_model=mc, fusion_model=fmc)
+
+
+@pytest.fixture(scope="module")
+def encoder_setup():
+    cfg = tiny_cfg()
+    model = Encoder(method="dwi", config=cfg.dwi_model,
+                    channel_num=5, num_classes=4)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 32, 5))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    return cfg, model, variables, x
+
+
+class TestTTAViews:
+    def test_views_shape_and_content(self):
+        x = jnp.arange(2 * 4 * 4 * 1.0).reshape(2, 4, 4, 1)
+        v = tta_views(x)
+        assert v.shape == (8, 4, 4, 1)
+        assert np.allclose(v[:2], x)
+        assert np.allclose(v[2:4], x[:, :, ::-1])  # lr
+        assert np.allclose(v[4:6], x[:, ::-1])  # ud
+        assert np.allclose(v[6:8], x[:, ::-1, ::-1])
+
+
+class TestSinglePredictor:
+    def test_normal_deterministic(self, encoder_setup):
+        cfg, model, variables, x = encoder_setup
+        pred = make_single_predictor(cfg, model, mode="normal")
+        m1, s1, _ = pred(variables, x, jax.random.PRNGKey(0))
+        m2, s2, _ = pred(variables, x, jax.random.PRNGKey(7))
+        assert np.allclose(np.asarray(m1), np.asarray(m2))
+        assert np.all(np.asarray(s1) == 0)
+        assert np.allclose(np.asarray(m1).sum(-1), 1.0, atol=1e-5)
+
+    def test_mc_has_variance(self, encoder_setup):
+        # debug_suite.py:140-153: MC dropout must produce variance
+        cfg, model, variables, x = encoder_setup
+        pred = make_single_predictor(cfg, model, mode="mc")
+        m, s, _ = pred(variables, x, jax.random.PRNGKey(0))
+        assert float(np.asarray(s).mean()) > 1e-6
+
+    def test_tta_changes_predictions(self, encoder_setup):
+        # debug_suite.py:157-166: TTA output differs from a plain forward
+        cfg, model, variables, x = encoder_setup
+        normal = make_single_predictor(cfg, model, mode="normal")
+        tta = make_single_predictor(cfg, model, mode="tta")
+        mn, _, _ = normal(variables, x, jax.random.PRNGKey(0))
+        mt, st, _ = tta(variables, x, jax.random.PRNGKey(0))
+        assert not np.allclose(np.asarray(mn), np.asarray(mt), atol=1e-6)
+        assert np.all(np.isfinite(np.asarray(st)))
+
+    def test_tta_mc_pass_count_and_variance(self, encoder_setup):
+        # debug_suite.py:170-177: TTA-MC variance >= MC variance (roughly)
+        cfg, model, variables, x = encoder_setup
+        mc = make_single_predictor(cfg, model, mode="mc")
+        tta_mc = make_single_predictor(cfg, model, mode="tta_mc")
+        _, s_mc, _ = mc(variables, x, jax.random.PRNGKey(0))
+        m, s_ttamc, _ = tta_mc(variables, x, jax.random.PRNGKey(0))
+        assert m.shape == (4, 4)
+        assert float(np.asarray(s_ttamc).mean()) > 0.5 * float(
+            np.asarray(s_mc).mean()
+        )
+
+    def test_mc_mean_more_stable_than_single_pass(self, encoder_setup):
+        cfg, model, variables, x = encoder_setup
+        pred = make_single_predictor(cfg, model, mode="mc", mc_passes=8)
+        m1, _, _ = pred(variables, x, jax.random.PRNGKey(0))
+        m2, _, _ = pred(variables, x, jax.random.PRNGKey(1))
+        # different rng -> different but close means
+        assert not np.allclose(np.asarray(m1), np.asarray(m2))
+        assert np.abs(np.asarray(m1) - np.asarray(m2)).max() < 0.5
+
+
+class TestFusionPredictor:
+    def test_tta_mc_end_to_end(self):
+        cfg = tiny_cfg()
+        dwi = Encoder(method="dwi", config=cfg.dwi_model, channel_num=5,
+                      num_classes=4)
+        dce = Encoder(method="dce", config=cfg.dce_model, channel_num=6,
+                      num_classes=4)
+        fusion = FusionModel(config=cfg.fusion_model, num_classes=4)
+        xd = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 5))
+        xc = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 6))
+        k = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        dwi_vars = dwi.init(k, xd, train=False)
+        dce_vars = dce.init(k, xc, train=False)
+        _, dwi_aux, dwi_m = dwi.apply(dwi_vars, xd, train=False)
+        _, dce_aux, dce_m = dce.apply(dce_vars, xc, train=False)
+        fusion_vars = fusion.init(
+            k, dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_m, dce_m,
+            train=False,
+        )
+        pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc",
+                                     mc_passes=2)
+        m, s, aux = pred(dwi_vars, dce_vars, fusion_vars, xd, xc,
+                         jax.random.PRNGKey(0))
+        assert m.shape == (2, 4)
+        assert float(np.asarray(s).mean()) > 0
+        assert aux["gating_weights"].shape[-1] == 2
