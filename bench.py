@@ -1,0 +1,157 @@
+"""Benchmark: end-to-end fusion inference throughput (volumes/sec/chip).
+
+North star (BASELINE.md): >= 500 volumes/sec/chip on TPU v5e for the full
+dual-modality pipeline — on-device preprocessing (DWI z-score + ADC append,
+DCE Nyul) + both ResNet50-backboned encoders + fusion head — at the
+reference geometry (256x256, DWI 14ch, DCE 6ch, 4 classes,
+parameters_generate.py:30-68, 241-251).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--image-size", type=int, default=256)
+    parser.add_argument("--mode", default="normal",
+                        choices=["normal", "tta", "mc", "tta_mc"])
+    parser.add_argument("--no-preprocess", action="store_true")
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny geometry for CPU smoke runs")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.quick:
+        args.batch, args.steps, args.image_size = 8, 3, 64
+
+    import dataclasses
+
+    from dmf_tpu.config import default_parameters, resolve_backbone_config
+    from dmf_tpu.data.preprocess import (
+        DEFAULT_LANDMARKS,
+        append_adc,
+        dwi_normalize,
+        nyul_transform,
+    )
+    from dmf_tpu.models import Encoder, FusionModel
+    from dmf_tpu.models.backbones import resnet50_features
+    from dmf_tpu.train.fusion import make_fusion_apply
+
+    cfg = default_parameters(batch_size=args.batch)
+    dwi_mc = dataclasses.replace(
+        resolve_backbone_config(cfg.dwi_model), input_size=args.image_size
+    )
+    if args.quick:
+        dwi_mc = dataclasses.replace(dwi_mc, channels=(32, 64, 128),
+                                     use_backbone=False, proj_dim=16)
+        fs = dataclasses.replace(cfg.fusion_model.fusion_specific,
+                                 dwi_out_channels=128, dce_out_channels=128)
+    else:
+        fs = cfg.fusion_model.fusion_specific
+    fusion_mc = dataclasses.replace(dwi_mc, fusion_specific=fs)
+    cfg = cfg.replace(dwi_model=dwi_mc, dce_model=dwi_mc, fusion_model=fusion_mc)
+
+    dtype = jnp.bfloat16
+    use_backbone = cfg.dwi_model.use_backbone
+    dwi_backbone = resnet50_features(cfg.dwi_channel_num, dtype=dtype) if use_backbone else None
+    dce_backbone = resnet50_features(cfg.dce_channel_num, dtype=dtype) if use_backbone else None
+
+    dwi = Encoder(method="dwi", config=cfg.dwi_model,
+                  channel_num=cfg.dwi_channel_num, num_classes=cfg.class_num,
+                  backbone=dwi_backbone, dtype=dtype)
+    dce = Encoder(method="dce", config=cfg.dce_model,
+                  channel_num=cfg.dce_channel_num, num_classes=cfg.class_num,
+                  backbone=dce_backbone, dtype=dtype)
+    fusion = FusionModel(config=cfg.fusion_model, num_classes=cfg.class_num,
+                         dtype=dtype)
+
+    S = args.image_size
+    B = args.batch
+    k = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+    xd_small = jnp.zeros((1, S, S, cfg.dwi_channel_num), dtype)
+    xc_small = jnp.zeros((1, S, S, cfg.dce_channel_num), dtype)
+    from dmf_tpu.utils.init import init_on_cpu
+
+    def init_all():
+        dwi_vars = dwi.init(k, xd_small, train=False)
+        dce_vars = dce.init(k, xc_small, train=False)
+        _, dwi_aux, dwi_m = dwi.apply(dwi_vars, xd_small, train=False)
+        _, dce_aux, dce_m = dce.apply(dce_vars, xc_small, train=False)
+        fusion_vars = fusion.init(
+            k, dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_m, dce_m,
+            train=False,
+        )
+        return dwi_vars, dce_vars, fusion_vars
+
+    dwi_vars, dce_vars, fusion_vars = init_on_cpu(init_all)
+
+    apply_fn = make_fusion_apply(dwi, dce, fusion)
+    variables = {"dwi": dwi_vars, "dce": dce_vars, "fusion": fusion_vars}
+
+    # Nyul landmarks (fitted offline in the real pipeline)
+    C_dce = cfg.dce_channel_num
+    landmarks = jnp.asarray(DEFAULT_LANDMARKS, jnp.float32)
+    chan_landmarks = jnp.tile(
+        jnp.linspace(0.0, 1.0, len(DEFAULT_LANDMARKS))[None, :], (C_dce, 1)
+    )
+    std_scale = jnp.linspace(0.0, 1.0, len(DEFAULT_LANDMARKS))
+    adc_map = jnp.zeros((S, S, 1), jnp.float32) + 0.5
+
+    do_pre = not args.no_preprocess
+
+    def infer(variables, dwi_raw, dce_raw):
+        """Raw volumes -> class probabilities (the full serving path)."""
+        if do_pre:
+            dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
+            dx = append_adc(dx, adc_map)
+            cx = nyul_transform(dce_raw, chan_landmarks, landmarks, std_scale)
+        else:
+            dx, cx = dwi_raw, dce_raw
+        dx = dx.astype(dtype)
+        cx = cx.astype(dtype)
+        logits, fused_mask, aux, _, _ = apply_fn(variables, dx, cx, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    jfn = jax.jit(infer)
+
+    rng = np.random.RandomState(0)
+    dwi_raw = jnp.asarray(
+        rng.rand(B, S, S, cfg.dwi_base_channel_num).astype(np.float32)
+    )
+    dce_raw = jnp.asarray(rng.rand(B, S, S, C_dce).astype(np.float32))
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(jfn(variables, dwi_raw, dce_raw))
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = jfn(variables, dwi_raw, dce_raw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    volumes_per_sec = args.steps * B / dt
+    result = {
+        "metric": "fusion_inference_throughput",
+        "value": round(volumes_per_sec, 2),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(volumes_per_sec / 500.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

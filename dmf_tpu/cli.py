@@ -1,0 +1,153 @@
+"""Command-line driver: the run.py equivalent (run.py:121-180), as a real
+CLI (the reference is a notebook-style script with shell magics).
+
+Usage:
+    python -m dmf_tpu.cli run            # full per-fold x per-method loop
+    python -m dmf_tpu.cli run --folds 0 --methods dwi --epochs 5
+    python -m dmf_tpu.cli run --fusion   # include the fusion stage
+    python -m dmf_tpu.cli debug-suite    # pre-training smoke harness
+    python -m dmf_tpu.cli bench --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--config", default=None, help="path to a config JSON")
+    p.add_argument("--base-path", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--min-epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--folds", type=int, nargs="*", default=None)
+    p.add_argument("--methods", nargs="*", default=None)
+    p.add_argument("--fusion", action="store_true",
+                   help="run the fusion stage after both encoders "
+                        "(the reference driver ships it commented out, "
+                        "run.py:164-180)")
+    p.add_argument("--no-compat", action="store_true",
+                   help="disable reference_compat quirks")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--pretrained-dwi", default=None)
+    p.add_argument("--pretrained-dce", default=None)
+    p.add_argument("--debug-training", action="store_true")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans (the reference's detect_anomaly, "
+                        "train.py:88)")
+
+
+def load_config(args):
+    from .config import Config, default_parameters
+
+    cfg = Config.load(args.config) if args.config else default_parameters()
+    updates = {}
+    if args.base_path:
+        updates["base_path"] = args.base_path
+    if args.batch_size:
+        updates["batch_size"] = args.batch_size
+    if args.no_compat:
+        updates["reference_compat"] = False
+    if args.debug_nans:
+        updates["debug_anomaly"] = True
+    if updates:
+        cfg = cfg.replace(**updates)
+    return cfg
+
+
+def cmd_run(args) -> int:
+    import jax
+
+    cfg = load_config(args)
+    if cfg.debug_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    folds = args.folds if args.folds is not None else list(range(cfg.segnum))
+    methods = args.methods if args.methods else list(cfg.methods)
+
+    from .pipeline.run_single import run_single_model
+    from .pipeline.run_fusion import run_fusion_model
+
+    summary = {}
+    for fold in folds:
+        results = {}
+        for method in methods:
+            if args.debug_training:
+                from .debug_suite import run_debug_suite_single
+
+                run_debug_suite_single(cfg, method)
+            pretrained = (args.pretrained_dwi if method == "dwi"
+                          else args.pretrained_dce)
+            print(f"[dmf_tpu] fold {fold} method {method}: training...")
+            results[method] = run_single_model(
+                cfg, method, fold,
+                num_epochs=args.epochs, min_epochs=args.min_epochs,
+                base_dir=args.results_dir, pretrained_path=pretrained,
+            )
+            print(f"[dmf_tpu] fold {fold} {method} test:",
+                  json.dumps(results[method]["test_metrics"], indent=None))
+        if args.fusion and "dwi" in results and "dce" in results:
+            print(f"[dmf_tpu] fold {fold} fusion: training...")
+            fusion_res = run_fusion_model(
+                cfg, fold, results["dwi"], results["dce"],
+                num_epochs=args.epochs, min_epochs=args.min_epochs,
+                base_dir=args.results_dir,
+            )
+            print(f"[dmf_tpu] fold {fold} fusion test:",
+                  json.dumps(fusion_res["test_metrics"], indent=None))
+            summary[f"fold{fold}_fusion"] = fusion_res["test_metrics"]
+        for m, r in results.items():
+            summary[f"fold{fold}_{m}"] = r["test_metrics"]
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def cmd_debug_suite(args) -> int:
+    cfg = load_config(args)
+    from .debug_suite import run_debug_suite_fusion, run_debug_suite_single
+
+    methods = args.methods if args.methods else list(cfg.methods)
+    ok = True
+    for method in methods:
+        ok = run_debug_suite_single(cfg, method) and ok
+    if args.fusion:
+        ok = run_debug_suite_fusion(cfg) and ok
+    return 0 if ok else 1
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"]
+    if args.quick:
+        cmd.append("--quick")
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="dmf_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="train per-fold x per-method (+fusion)")
+    _add_common(p_run)
+
+    p_dbg = sub.add_parser("debug-suite", help="pre-training smoke harness")
+    _add_common(p_dbg)
+
+    p_bench = sub.add_parser("bench", help="fusion inference benchmark")
+    p_bench.add_argument("--quick", action="store_true")
+
+    args = parser.parse_args(argv)
+    if args.command == "run":
+        return cmd_run(args)
+    if args.command == "debug-suite":
+        return cmd_debug_suite(args)
+    if args.command == "bench":
+        return cmd_bench(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

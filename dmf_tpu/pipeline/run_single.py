@@ -1,0 +1,150 @@
+"""Single-model runner: prepare -> fit -> best-reload -> test -> metrics.
+
+Behavior-compatible redesign of ``run_single_model`` (run_training.py:20-178)
+and the test path (train.py:736-823): training via the compiled epoch loop,
+then uncertainty-aware testing with the vmapped TTA x MC predictor, metrics
+persisted to ``metrics.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, to_reference_dict
+from ..data.pipeline import ArrayDataset, iterate_batches
+from ..evals import MeanMetric, classification_report, make_single_predictor
+from ..losses import get_classification_loss_fn
+from ..train import (
+    FitResult,
+    SingleModelOptController,
+    TrainState,
+    fit_single,
+    init_single_state,
+)
+from ..utils.logging import save_metrics_json
+from .paths import prepare_output_paths
+from .prepare_single import (
+    SingleModelData,
+    build_single_model,
+    export_processed_splits,
+    prepare_single_data,
+)
+
+
+def test_single_model(
+    cfg: Config,
+    model,
+    state: TrainState,
+    data: SingleModelData,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Uncertainty-aware test pass (train.py:736-823 semantics): TTA x MC
+    probabilities, macro metrics, per-class accuracy, mean uncertainty,
+    modality-attention aggregation."""
+    predictor = make_single_predictor(cfg, model)
+    proc = data.processors_by_split["test"]
+    test = data.splits["test"]
+    imgs = np.asarray(proc.eval_batch(test["imgs"]))
+    ds = ArrayDataset(imgs=imgs, labels=test["labels"])
+
+    rng = jax.random.PRNGKey(seed)
+    all_probs, all_labels, all_std = [], [], []
+    mod_attn = []
+    for batch in iterate_batches(ds, cfg.batch_size, shuffle=False):
+        rng, sub = jax.random.split(rng)
+        mean_probs, std_probs, aux = predictor(state.variables, batch["imgs"], sub)
+        valid = np.asarray(batch["valid"]).astype(bool)
+        all_probs.append(np.asarray(mean_probs)[valid])
+        all_std.append(np.asarray(std_probs)[valid])
+        all_labels.append(np.asarray(batch["labels"])[valid])
+        if aux.get("mod_attn_map") is not None:
+            # aux batch axis is (views*B) under tta/tta_mc: average views out
+            m = np.asarray(aux["mod_attn_map"])
+            m = m.reshape(-1, len(valid), m.shape[-1]).mean(0)
+            mod_attn.append(m[valid].mean(axis=0))
+
+    probs = np.concatenate(all_probs)
+    labels = np.concatenate(all_labels).astype(np.int64)
+    metrics = classification_report(probs, labels, cfg.class_num, "test_")
+    if cfg.test_mode != "normal":
+        metrics["test_uncertainty_mean"] = float(np.concatenate(all_std).mean())
+    result = {
+        "metrics": metrics,
+        "probs": probs,
+        "labels": labels,
+        "modality_attention": np.stack(mod_attn) if mod_attn else None,
+    }
+    return result
+
+
+def run_single_model(
+    cfg: Config,
+    method: str,
+    fold: int,
+    data: Optional[SingleModelData] = None,
+    model=None,
+    variables=None,
+    num_epochs: Optional[int] = None,
+    min_epochs: Optional[int] = None,
+    base_dir: str = "results",
+    pretrained_path: Optional[str] = None,
+    export_splits: bool = True,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Full single-modality flow for one fold.  Returns the reference's
+    result-dict shape (run_training.py:173-178): best checkpoint path,
+    trained state, train/test metrics — plus the model/data handles the
+    fusion stage consumes."""
+    paths = prepare_output_paths(method, fold, base_dir)
+    if data is None:
+        data = prepare_single_data(cfg, method, fold)
+    if model is None:
+        model, variables, cfg = build_single_model(
+            cfg, method, pretrained_path=pretrained_path
+        )
+    state = TrainState.create(variables)
+
+    clf_loss_fn = get_classification_loss_fn(cfg, data.train_labels, method)
+    controller = SingleModelOptController(cfg, method)
+    fit = fit_single(
+        cfg, method, model, state,
+        train_data=data.splits["train"],
+        val_data=data.splits["val"],
+        processor=data.processor,
+        controller=controller,
+        workdir=paths["root"],
+        clf_loss_fn=clf_loss_fn,
+        num_epochs=num_epochs,
+        min_epochs=min_epochs,
+        seed=seed,
+    )
+
+    # best-checkpoint reload for testing (run_training.py:123-131)
+    best_state = fit.best_state if fit.best_state is not None else fit.state
+    test_result = test_single_model(cfg, model, best_state, data, seed=seed)
+
+    save_metrics_json(
+        paths["metrics"], fit.train_metrics, test_result["metrics"],
+        parameters=to_reference_dict(cfg),
+    )
+    if export_splits:
+        export_processed_splits(cfg, data, rng_seed=seed)
+
+    return {
+        "best_checkpoint": f"{paths['checkpoints']}/best",
+        "model": model,
+        "state": best_state,
+        "final_state": fit.state,
+        "data": data,
+        "train_metrics": fit.train_metrics,
+        "test_metrics": test_result["metrics"],
+        "test_probs": test_result["probs"],
+        "modality_attention": test_result["modality_attention"],
+        "history": fit.history,
+        "config": cfg,
+    }

@@ -38,10 +38,15 @@ class FitResult:
 
 
 def init_single_state(cfg: Config, model, sample_batch, seed: int = 0) -> TrainState:
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
-        sample_batch,
-        train=False,
+    from ..utils.init import init_on_cpu
+
+    variables = init_on_cpu(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "dropout": jax.random.PRNGKey(seed + 1)},
+            sample_batch,
+            train=False,
+        )
     )
     return TrainState.create(variables)
 

@@ -1,0 +1,68 @@
+"""Pallas kernel correctness vs the XLA reference paths (interpret mode on
+CPU; the same code compiles with Mosaic on TPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmf_tpu.data.preprocess import dwi_normalize
+
+
+def _xla_attention(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("nq,nk", [(256, 256), (512, 1024)])
+    def test_matches_xla(self, rng, nq, nk):
+        import dmf_tpu.ops.flash_attention as fa
+
+        q = jnp.asarray(rng.randn(1, 2, nq, 64).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 2, nk, 64).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 2, nk, 64).astype(np.float32))
+        ref = _xla_attention(q, k, v)
+        with jax.disable_jit():
+            import jax.experimental.pallas as pl
+
+            # interpret mode for CPU execution
+            orig = pl.pallas_call
+            try:
+                pl.pallas_call = functools.partial(orig, interpret=True)
+                out = fa.flash_attention.__wrapped__(q, k, v)
+            finally:
+                pl.pallas_call = orig
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_unaligned_raises(self, rng):
+        from dmf_tpu.ops.flash_attention import flash_attention
+
+        q = jnp.zeros((1, 1, 300, 64))
+        with pytest.raises(ValueError):
+            flash_attention.__wrapped__(q, q, q)
+
+
+class TestPreprocessKernel:
+    @pytest.mark.parametrize("zero_last", [False, True])
+    def test_matches_xla_normalize(self, rng, zero_last):
+        import jax.experimental.pallas as pl
+
+        import dmf_tpu.ops.preprocess_pallas as pp
+
+        imgs = jnp.asarray(rng.rand(3, 16, 16, 5).astype(np.float32) * 7)
+        ref = dwi_normalize(imgs, skip_last=True, zero_last=zero_last)
+        with jax.disable_jit():
+            orig = pl.pallas_call
+            try:
+                pl.pallas_call = functools.partial(orig, interpret=True)
+                out = pp.dwi_normalize_pallas.__wrapped__(
+                    imgs, skip_last=True, zero_last=zero_last
+                )
+            finally:
+                pl.pallas_call = orig
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,106 @@
+"""End-to-end pipeline test: prepare -> train both modalities -> fusion ->
+TTA x MC test, on synthetic data with tiny shapes (the reference driver loop,
+run.py:121-180, including the fusion stage it ships commented out)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from dmf_tpu.config import default_parameters
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("store"))
+    cfg = default_parameters(
+        batch_size=8, mc_passes=2, base_path=base, segnum=4, patience=50,
+        unfreeze_timer=1,
+    )
+
+    def small(mc):
+        return dataclasses.replace(
+            mc, channels=(8, 16, 32), input_size=32, use_backbone=False,
+            proj_dim=8, dropout=0.1,
+        )
+
+    fs = dataclasses.replace(
+        cfg.fusion_model.fusion_specific, fusion_channels=16,
+        dwi_out_channels=32, dce_out_channels=32,
+    )
+    return cfg.replace(
+        dwi_model=small(cfg.dwi_model),
+        dce_model=small(cfg.dce_model),
+        fusion_model=dataclasses.replace(small(cfg.fusion_model),
+                                         fusion_specific=fs),
+    )
+
+
+@pytest.fixture(scope="module")
+def single_results(tiny_cfg, tmp_path_factory):
+    from dmf_tpu.pipeline import run_single_model
+
+    results_dir = str(tmp_path_factory.mktemp("results"))
+    out = {}
+    for method in ("dwi", "dce"):
+        out[method] = run_single_model(
+            tiny_cfg, method, fold=0, num_epochs=2, min_epochs=1,
+            base_dir=results_dir,
+        )
+    return results_dir, out
+
+
+class TestSinglePipeline:
+    def test_metrics_written(self, single_results):
+        results_dir, out = single_results
+        for method in ("dwi", "dce"):
+            assert os.path.exists(
+                os.path.join(results_dir, method, "fold_0", "metrics.json")
+            )
+            tm = out[method]["test_metrics"]
+            assert "test_acc" in tm and "test_roc_auc" in tm
+            assert "test_uncertainty_mean" in tm  # tta_mc default
+            assert np.isfinite(tm["test_roc_auc"])
+
+    def test_processed_splits_cached(self, single_results, tiny_cfg):
+        for method in ("dwi", "dce"):
+            for split in ("train", "val", "test"):
+                p = os.path.join(tiny_cfg.base_path, "processed",
+                                 f"{method}0{split}data.npz")
+                assert os.path.exists(p), p
+
+    def test_dwi_channel_count_includes_adc(self, single_results, tiny_cfg):
+        from dmf_tpu.pipeline import load_processed_split
+
+        d = load_processed_split(
+            os.path.join(tiny_cfg.base_path, "processed", "dwi0traindata")
+        )
+        assert d["imgs"].shape[-1] == tiny_cfg.dwi_channel_num  # 13 + ADC
+        assert "masks" in d and "labels" in d
+
+    def test_modality_attention_collected(self, single_results):
+        _, out = single_results
+        assert out["dwi"]["modality_attention"] is not None
+
+
+class TestFusionPipeline:
+    def test_fusion_end_to_end(self, single_results, tiny_cfg, tmp_path_factory):
+        from dmf_tpu.pipeline import run_fusion_model
+
+        results_dir, out = single_results
+        fusion = run_fusion_model(
+            tiny_cfg, 0, out["dwi"], out["dce"], num_epochs=2, min_epochs=1,
+            base_dir=results_dir,
+        )
+        tm = fusion["test_metrics"]
+        assert np.isfinite(tm["test_roc_auc"])
+        assert fusion["modality_attention"] is not None
+        assert os.path.exists(
+            os.path.join(results_dir, "fusion", "fold_0", "metrics.json")
+        )
+        # per-fold combined params store
+        assert os.path.exists(
+            os.path.join(results_dir, "fusion", "fold_0", "checkpoints",
+                         "fusion_fold0.msgpack")
+        )
