@@ -44,7 +44,7 @@ def main() -> None:
         DEFAULT_LANDMARKS,
         append_adc,
         dwi_normalize,
-        nyul_transform,
+        nyul_transform_fast,
     )
     from dmf_tpu.models import Encoder, FusionModel
     from dmf_tpu.models.backbones import resnet50_features
@@ -118,7 +118,7 @@ def main() -> None:
         if do_pre:
             dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
             dx = append_adc(dx, adc_map)
-            cx = nyul_transform(dce_raw, chan_landmarks, landmarks, std_scale)
+            cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks, std_scale)
         else:
             dx, cx = dwi_raw, dce_raw
         dx = dx.astype(dtype)
@@ -129,9 +129,8 @@ def main() -> None:
     jfn = jax.jit(infer)
 
     rng = np.random.RandomState(0)
-    dwi_raw = jnp.asarray(
-        rng.rand(B, S, S, cfg.dwi_base_channel_num).astype(np.float32)
-    )
+    dwi_in_ch = cfg.dwi_base_channel_num if do_pre else cfg.dwi_channel_num
+    dwi_raw = jnp.asarray(rng.rand(B, S, S, dwi_in_ch).astype(np.float32))
     dce_raw = jnp.asarray(rng.rand(B, S, S, C_dce).astype(np.float32))
 
     for _ in range(args.warmup):

@@ -11,6 +11,7 @@ from .preprocess import (
     dce_global_max_normalize,
     dwi_normalize,
     nyul_transform,
+    nyul_transform_fast,
     prep_dwi_adc_maps,
     preprocess_adc,
     zero_to_one_adc,
@@ -30,6 +31,7 @@ __all__ = [
     "dce_global_max_normalize",
     "dwi_normalize",
     "nyul_transform",
+    "nyul_transform_fast",
     "prep_dwi_adc_maps",
     "preprocess_adc",
     "zero_to_one_adc",
