@@ -17,6 +17,56 @@ import sys
 import time
 
 
+def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
+    """Fusion training-step throughput (steps/sec at the config batch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmf_tpu.losses import get_mask_loss_fn, soft_weighted_focal_loss
+    from dmf_tpu.train import FusionOptController, TrainState, adamw_init
+    from dmf_tpu.train.fusion import build_fusion_group_spec, make_fusion_train_step
+
+    B, S = args.batch, args.image_size
+    params = {m: variables[m]["params"] for m in variables}
+    batch_stats = {m: variables[m].get("batch_stats", {}) for m in variables}
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=adamw_init(params),
+                       step=jnp.zeros((), jnp.int32))
+    clf = lambda lo, t: soft_weighted_focal_loss(lo, t, 1.5, None)
+    spec = build_fusion_group_spec(state.params, cfg)
+    step = make_fusion_train_step(
+        cfg, dwi, dce, fusion, clf, get_mask_loss_fn(cfg, "fusion"), spec,
+        donate=True,
+    )
+    controller = FusionOptController(cfg)
+    hp = controller.hyperparams()
+    rng = np.random.RandomState(0)
+    batch = {
+        "dwi": jnp.asarray(rng.rand(B, S, S, cfg.dwi_channel_num).astype(np.float32)),
+        "dce": jnp.asarray(rng.rand(B, S, S, cfg.dce_channel_num).astype(np.float32)),
+        "masks": jnp.asarray((rng.rand(B, 32, 32, 1) > 0.5).astype(np.float32)),
+        "labels": jnp.asarray(np.arange(B) % cfg.class_num, jnp.int32),
+        "aux_w": jnp.asarray(1.0, jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    for _ in range(args.warmup):
+        state, metrics = step(state, batch, key, hp)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch, key, hp)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    steps_per_sec = args.steps / dt
+    print(json.dumps({
+        "metric": "fusion_training_throughput",
+        "value": round(steps_per_sec, 3),
+        "unit": f"steps/sec (batch {B})",
+        "vs_baseline": round(steps_per_sec * B / 500.0, 4),
+    }))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256)
@@ -26,6 +76,10 @@ def main() -> None:
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "tta", "mc", "tta_mc"])
     parser.add_argument("--no-preprocess", action="store_true")
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the fusion training step instead "
+                             "(reports steps/sec; BASELINE.md tracks this "
+                             "for parity)")
     parser.add_argument("--quick", action="store_true",
                         help="tiny geometry for CPU smoke runs")
     args = parser.parse_args()
@@ -101,6 +155,10 @@ def main() -> None:
 
     apply_fn = make_fusion_apply(dwi, dce, fusion)
     variables = {"dwi": dwi_vars, "dce": dce_vars, "fusion": fusion_vars}
+
+    if args.train:
+        _bench_train(args, cfg, dwi, dce, fusion, variables)
+        return
 
     # Nyul landmarks (fitted offline in the real pipeline)
     C_dce = cfg.dce_channel_num

@@ -96,6 +96,14 @@ def build_backbone(
         return BackboneBundle(module, params, batch_stats or None, True,
                               module.output_dims)
 
+    if name in ("uni2-h", "uni2h"):
+        # declared but never dispatched in the reference either
+        # (foundation_model.py:437-483: "not implemented")
+        raise NotImplementedError(
+            "UNI2-h (pathology ViT-H) is declared but not implemented, "
+            "matching the reference"
+        )
+
     raise ValueError(f"unknown backbone_str {mc.backbone_str!r}")
 
 

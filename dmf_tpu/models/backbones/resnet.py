@@ -61,9 +61,12 @@ class Bottleneck(nn.Module):
                       name="conv1")(x)
         out = _BN(self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
+        # torch pads dilation*(k-1)/2 on both sides; SAME differs for
+        # strided convs on even inputs
+        d = self.dilation
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
+            kernel_dilation=(d, d), padding=((d, d), (d, d)),
             use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
         out = _BN(self.dtype, name="bn2")(out, train)
@@ -101,12 +104,13 @@ class ResNetFeatures(nn.Module):
         if self.deep_stem:
             for i, ch in enumerate((32, 32, 64)):
                 x = nn.Conv(ch, (3, 3), strides=(2, 2) if i == 0 else (1, 1),
-                            use_bias=False, dtype=self.dtype,
-                            name=f"stem_conv{i + 1}")(x)
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            dtype=self.dtype, name=f"stem_conv{i + 1}")(x)
                 x = _BN(self.dtype, name=f"stem_bn{i + 1}")(x, train)
                 x = nn.relu(x)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False,
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
             x = _BN(self.dtype, name="bn1")(x, train)
             x = nn.relu(x)

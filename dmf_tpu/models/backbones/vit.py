@@ -83,8 +83,8 @@ class ViTFeatures(nn.Module):
         p = self.patch_size
         n_patches = (self.img_size // p) ** 2
 
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
-                    name="patch_embed")(x)
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
         x = x.reshape(B, -1, self.embed_dim)
 
         cls = self.param("cls_token", nn.initializers.zeros,

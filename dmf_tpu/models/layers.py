@@ -149,8 +149,11 @@ class MaskHeadResize(nn.Module):
                 s //= 2
                 steps += 1
             for _ in range(steps):
+                # explicit torch-style padding: SAME != torch pad=1 for
+                # stride-2 convs on even inputs
                 x = nn.Conv(
-                    self.mid_ch, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    self.mid_ch, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
                     kernel_init=conv_kernel_init,
                 )(x)
                 x = nn.gelu(x, approximate=False)
@@ -285,8 +288,9 @@ class FeatureDownAlign(nn.Module):
             return x
         stride = 2 if self.downsample else 1
         k = 3 if self.downsample else 1
+        pad = ((1, 1), (1, 1)) if self.downsample else "SAME"
         x = nn.Conv(self.out_ch, (k, k), strides=(stride, stride),
-                    use_bias=False, dtype=self.dtype,
+                    padding=pad, use_bias=False, dtype=self.dtype,
                     kernel_init=conv_kernel_init)(x)
         x = BatchNorm(self.dtype)(x, train)
         return nn.gelu(x, approximate=False)

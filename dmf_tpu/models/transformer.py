@@ -121,8 +121,9 @@ class TransformerStage(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, mc: bool = False):
         p = self.patch_size
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
-                    kernel_init=conv_kernel_init, name="patch_embed")(x)
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, kernel_init=conv_kernel_init,
+                    name="patch_embed")(x)
         B, Hp, Wp, C = x.shape
         tokens = x.reshape(B, Hp * Wp, C)
         tokens = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(tokens)

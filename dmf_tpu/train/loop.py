@@ -66,11 +66,15 @@ def fit_single(
     min_epochs: Optional[int] = None,
     seed: int = 0,
     log_every: int = 1,
+    viz_every: int = 10,
+    resume_from: Optional[str] = None,
 ) -> FitResult:
     """Train one encoder; returns final + best states and epoch history.
 
     ``train_data``/``val_data``: dicts with raw (un-processed) ``imgs``,
     optional ``masks`` (already mask_target_size), ``labels``.
+    ``resume_from``: path of a saved state (msgpack) to restore before
+    training (the reference's load_pretrained path, run.py:136-151).
     """
     mc = cfg.model_config(method)
     num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
@@ -97,6 +101,12 @@ def fit_single(
     )
     ckpt = BestCheckpointer(f"{workdir}/checkpoints", monitor="val_acc", mode="max")
     logger = MetricLogger(f"{workdir}/logs")
+
+    if resume_from is not None:
+        from ..utils.checkpoint import restore_pytree
+
+        state = restore_pytree(resume_from, jax.device_get(state))
+        state = jax.device_put(state)
 
     train_ds = ArrayDataset(
         imgs=train_data["imgs"], masks=train_data.get("masks"),
@@ -165,17 +175,47 @@ def fit_single(
 
         # ---- control plane ----
         if isinstance(scheduler, ReduceLROnPlateau):
-            monitored = epoch_metrics.get(
-                mc.scheduler.monitor.replace("val_loss", "val_loss"), None
-            )
-            if monitored is None:
-                monitored = epoch_metrics["val_loss"]
+            monitored = epoch_metrics.get(mc.scheduler.monitor,
+                                          epoch_metrics["val_loss"])
             controller.lr_scale = scheduler.step(monitored)
         else:
             controller.lr_scale = scheduler.step_scale(epoch)
 
+        # ---- periodic mask visualization (train.py:706-714, every 10 ep) ----
+        if (
+            viz_every
+            and mc.mask.enabled
+            and epoch % viz_every == 0
+            and val_data.get("masks") is not None
+        ):
+            try:
+                from ..utils.visualize import visualize_mask_triplet
+
+                sample = {"imgs": val_imgs[:1],
+                          "labels": val_data["labels"][:1]}
+                _, _, _ = eval_step(state, {
+                    "imgs": jnp.asarray(sample["imgs"]),
+                    "labels": jnp.asarray(sample["labels"], jnp.int32),
+                })
+                _, _, mask_pred = model.apply(
+                    state.variables, jnp.asarray(val_imgs[:1]), train=False
+                )
+                visualize_mask_triplet(
+                    val_imgs[0], val_data["masks"][0],
+                    np.asarray(mask_pred[0]),
+                    f"{workdir}/viz/epoch_{epoch:04d}.png",
+                    title_prefix=f"Epoch {epoch}, sample: ",
+                )
+            except Exception:
+                pass
+
         if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):
             best_state = jax.device_get(state)
+        if viz_every and epoch % max(viz_every, 1) == 0:
+            # rolling resume checkpoint
+            from ..utils.checkpoint import save_pytree
+
+            save_pytree(f"{workdir}/checkpoints/last", jax.device_get(state))
 
         history.append(epoch_metrics)
         if epoch % log_every == 0:

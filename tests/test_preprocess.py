@@ -150,3 +150,42 @@ class TestResize:
             .numpy()
         )
         assert np.allclose(ours, ref, atol=1e-5)
+
+
+class TestAdaptivePool:
+    def test_matches_torch_downsample(self, rng):
+        from dmf_tpu.ops import adaptive_avg_pool
+
+        x = rng.rand(2, 48, 48, 3).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), (13, 13)))
+        ref = (
+            torch.nn.functional.adaptive_avg_pool2d(
+                torch.tensor(x).permute(0, 3, 1, 2), (13, 13)
+            ).permute(0, 2, 3, 1).numpy()
+        )
+        assert np.allclose(ours, ref, atol=1e-5)
+
+    def test_matches_torch_upsample(self, rng):
+        # the encoder's proj_pool upsamples 32^2 features to (proj_dim=64)^2
+        from dmf_tpu.ops import adaptive_avg_pool
+
+        x = rng.rand(1, 32, 32, 2).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), (64, 64)))
+        ref = (
+            torch.nn.functional.adaptive_avg_pool2d(
+                torch.tensor(x).permute(0, 3, 1, 2), (64, 64)
+            ).permute(0, 2, 3, 1).numpy()
+        )
+        assert np.allclose(ours, ref, atol=1e-5)
+
+    def test_divisible_fast_path(self, rng):
+        from dmf_tpu.ops import adaptive_avg_pool
+
+        x = rng.rand(1, 16, 16, 2).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), (4, 4)))
+        ref = (
+            torch.nn.functional.adaptive_avg_pool2d(
+                torch.tensor(x).permute(0, 3, 1, 2), (4, 4)
+            ).permute(0, 2, 3, 1).numpy()
+        )
+        assert np.allclose(ours, ref, atol=1e-5)
