@@ -37,9 +37,14 @@ def _add_common(p):
     p.add_argument("--debug-nans", action="store_true",
                    help="jax_debug_nans (the reference's detect_anomaly, "
                         "train.py:88)")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink the models/geometry for smoke runs "
+                        "(CPU-friendly)")
 
 
 def load_config(args):
+    import dataclasses
+
     from .config import Config, default_parameters
 
     cfg = Config.load(args.config) if args.config else default_parameters()
@@ -52,6 +57,24 @@ def load_config(args):
         updates["reference_compat"] = False
     if args.debug_nans:
         updates["debug_anomaly"] = True
+    if getattr(args, "tiny", False):
+        def shrink(mc):
+            return dataclasses.replace(
+                mc, channels=(8, 16, 32), input_size=32, use_backbone=False,
+                proj_dim=8, transformer_embed_dim=32, transformer_depth=1,
+                transformer_heads=2,
+            )
+
+        fs = dataclasses.replace(
+            cfg.fusion_model.fusion_specific, fusion_channels=16,
+            dwi_out_channels=32, dce_out_channels=32,
+        )
+        updates["dwi_model"] = shrink(cfg.dwi_model)
+        updates["dce_model"] = shrink(cfg.dce_model)
+        updates["fusion_model"] = dataclasses.replace(
+            shrink(cfg.fusion_model), fusion_specific=fs
+        )
+        updates.setdefault("batch_size", args.batch_size or 8)
     if updates:
         cfg = cfg.replace(**updates)
     return cfg

@@ -11,6 +11,7 @@ from .prepare_single import (
 from .run_single import run_single_model, test_single_model
 from .run_fusion import (
     build_fusion_state,
+    fusion_model_test,
     prepare_fusion_data,
     run_fusion_model,
     test_fusion_model,
@@ -28,6 +29,7 @@ __all__ = [
     "run_single_model",
     "test_single_model",
     "build_fusion_state",
+    "fusion_model_test",
     "prepare_fusion_data",
     "run_fusion_model",
     "test_fusion_model",

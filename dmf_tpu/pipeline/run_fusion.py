@@ -207,6 +207,8 @@ def run_fusion_model(
     return {
         "best_checkpoint": f"{paths['checkpoints']}/best",
         "fusion_model": fusion_model,
+        "dwi_model": dwi_model,
+        "dce_model": dce_model,
         "state": best_state,
         "final_state": fit.state,
         "train_metrics": fit.train_metrics,
@@ -215,3 +217,14 @@ def run_fusion_model(
         "modality_attention": test_result["modality_attention"],
         "history": fit.history,
     }
+
+
+def fusion_model_test(
+    cfg: Config, dwi_model, dce_model, fusion_model, state: TrainState,
+    test_data: Dict[str, np.ndarray], seed: int = 0,
+) -> Dict[str, Any]:
+    """Standalone fusion evaluation — API-parity alias for the reference's
+    manual eval loop (model_test.py:99-202); delegates to the compiled
+    TTA x MC test path."""
+    return test_fusion_model(cfg, dwi_model, dce_model, fusion_model, state,
+                             test_data, seed)

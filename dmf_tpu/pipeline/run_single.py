@@ -93,6 +93,7 @@ def run_single_model(
     min_epochs: Optional[int] = None,
     base_dir: str = "results",
     pretrained_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
     export_splits: bool = True,
     seed: int = 0,
 ) -> Dict[str, Any]:
@@ -122,6 +123,7 @@ def run_single_model(
         num_epochs=num_epochs,
         min_epochs=min_epochs,
         seed=seed,
+        resume_from=resume_from,
     )
 
     # best-checkpoint reload for testing (run_training.py:123-131)

@@ -104,3 +104,55 @@ class TestFusionPipeline:
             os.path.join(results_dir, "fusion", "fold_0", "checkpoints",
                          "fusion_fold0.msgpack")
         )
+
+
+class TestCheckpointRoundtrip:
+    def test_best_restore(self, tiny_cfg, single_results):
+        import jax
+        from dmf_tpu.utils import BestCheckpointer, restore_pytree
+
+        results_dir, out = single_results
+        state = out["dwi"]["state"]
+        ckpt_dir = os.path.join(results_dir, "dwi", "fold_0", "checkpoints")
+        restored = restore_pytree(
+            os.path.join(ckpt_dir, "best"), jax.device_get(state)
+        )
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(restored.params)
+        assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+    def test_resume_checkpoint_exists(self, tiny_cfg, single_results):
+        results_dir, _ = single_results
+        assert os.path.exists(
+            os.path.join(results_dir, "dwi", "fold_0", "checkpoints",
+                         "last.msgpack")
+        )
+
+
+class TestTorchStoreLoader:
+    def test_pth_roundtrip(self, tiny_cfg, tmp_path):
+        import torch
+
+        from dmf_tpu.pipeline import load_raw_tensors
+
+        base = str(tmp_path / "store")
+        os.makedirs(os.path.join(base, "masks"), exist_ok=True)
+        rng = np.random.RandomState(0)
+        n = 6
+        dwi = rng.rand(n, 13, 16, 16).astype(np.float32)  # reference NCHW
+        labels = rng.randint(0, 4, n)
+        torch.save(torch.tensor(dwi), os.path.join(base, "dwi_tensordata.pth"))
+        torch.save(torch.tensor(dwi[:2]),
+                   os.path.join(base, "dwi_test_tensordata.pth"))
+        torch.save(torch.tensor(labels),
+                   os.path.join(base, "labels_tensordata.pth"))
+        torch.save(torch.tensor(labels[:2]),
+                   os.path.join(base, "labels_test_tensordata.pth"))
+        torch.save(torch.tensor(rng.rand(n, 1, 16, 16).astype(np.float32)),
+                   os.path.join(base, "masks", "mask.pth"))
+
+        cfg = tiny_cfg.replace(base_path=base)
+        raw = load_raw_tensors(cfg, "dwi")
+        assert raw["imgs"].shape == (n, 16, 16, 13)  # transposed to NHWC
+        assert raw["masks"].shape == (n, 16, 16, 1)
+        assert np.allclose(raw["imgs"][0, :, :, 0], dwi[0, 0])
