@@ -162,6 +162,11 @@ class ModelConfig:
     feat_norm_reg_enabled: bool = True
     lambda_feat_norm: float = 4e-5
 
+    # TPU-native extras (no reference counterpart)
+    # rematerialize encoder blocks in the backward pass (trade FLOPs for
+    # HBM, enabling larger train batches)
+    remat: bool = False
+
     fusion_specific: FusionSpecificConfig = field(
         default_factory=FusionSpecificConfig
     )

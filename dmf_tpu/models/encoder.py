@@ -51,6 +51,13 @@ class Encoder(nn.Module):
         mask_attn_map = None
         mod_attn_map = None
 
+        # optional rematerialization of the heavy blocks (jax.checkpoint):
+        # trades recompute for HBM in the backward pass
+        if mc_cfg.remat:
+            Block = nn.remat(ResLiteBlock, static_argnums=(2, 3))
+        else:
+            Block = ResLiteBlock
+
         # ---- modality attention over raw input channels ----
         if mc_cfg.enable_modality_attention:
             x_in, mod_attn_map = SEBlock(
@@ -79,7 +86,7 @@ class Encoder(nn.Module):
             f1_in = x_in
 
         # ---- block1 ----
-        f1, r1 = ResLiteBlock(
+        f1, r1 = Block(
             in_ch=f1_in.shape[-1], out_ch=c1, downsample=mc_cfg.downsample[0],
             recon_ch=1, use_se=mc_cfg.use_se, dropout=mc_cfg.dropout,
             num_repeats=mc_cfg.repeat_blocks[0],
@@ -111,7 +118,7 @@ class Encoder(nn.Module):
         else:
             f2_in = f1
 
-        f2, r2 = ResLiteBlock(
+        f2, r2 = Block(
             in_ch=c1, out_ch=c2, downsample=mc_cfg.downsample[1], recon_ch=1,
             use_se=mc_cfg.use_se, dropout=mc_cfg.dropout,
             num_repeats=mc_cfg.repeat_blocks[1],
@@ -143,7 +150,7 @@ class Encoder(nn.Module):
                 )
             else:
                 f3_in = f2
-            f3, _ = ResLiteBlock(
+            f3, _ = Block(
                 in_ch=c2, out_ch=c3, downsample=mc_cfg.downsample[2],
                 recon_ch=0, use_se=mc_cfg.use_se, dropout=mc_cfg.dropout,
                 num_repeats=mc_cfg.repeat_blocks[2],

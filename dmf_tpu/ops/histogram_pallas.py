@@ -1,11 +1,16 @@
 """Pallas histogram-percentile kernel for Nyul standardization (EXPERIMENTAL).
 
-STATUS: blocked on a Mosaic layout limitation — the (rows, lane) ->
-(pixels, 1) shape cast needed to feed pixel-major one-hots to the MXU is
-rejected by infer-vector-layout ("unsupported shape cast").  The production
-path uses data/preprocess.py::nyul_transform_fast (fused two-round CDF
-counting, ~96x over the sort-based baseline); this kernel is kept as the
-design for a future Mosaic version.
+STATUS: blocked on Mosaic limitations, three formulations tried on this
+stack (jax 0.9 / libtpu 0.0.34):
+  * (rows, lane) -> (pixels, 1) shape cast: "infer-vector-layout:
+    unsupported shape cast";
+  * (R, L, SUB) -> (R*L, SUB) merge reshape: same;
+  * dot_general with two contracting dims: "tpu.matmul lhs contracting
+    dims must be of size 1".
+The production path uses data/preprocess.py::nyul_transform_fast (fused
+two-round CDF counting, ~100x over the sort-based baseline, ~0.22 ms/volume
+= ~7% of the e2e inference budget), so the remaining headroom is small;
+this kernel is kept as the design sketch for a future Mosaic version.
 
 The Nyul transform needs 11 exact-ish per-image per-channel percentiles
 (preprocess_helpers.py:103).  Sorting on TPU is catastrophically slow and
@@ -39,23 +44,27 @@ def _percentile_kernel(x_ref, tgt_ref, out_ref, *, n_targets: int,
     span = jnp.maximum(mx - mn, 1e-12)
     nbins = SUB * SUB
 
-    # Mosaic iota must be integer-typed; cast afterwards
-    sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK_ROWS * lane, SUB), 1
+    # Mosaic iota must be integer-typed; cast afterwards.  Built 3D so the
+    # one-hot compare broadcasts without reshaping the lane dim (Mosaic
+    # rejects shape casts that move lane elements into sublanes).
+    sub_iota3 = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK_ROWS, lane, SUB), 2
     ).astype(jnp.float32)
 
     def chunk_hist(i, hist):
         # dynamic slice must go through the ref (Pallas TPU restriction)
         chunk = x_ref[0, pl.ds(i * CHUNK_ROWS, CHUNK_ROWS), :].astype(
             jnp.float32
-        ).reshape(CHUNK_ROWS * lane, 1)
+        )  # (R, L)
         idx = jnp.clip((chunk - mn) / span * nbins, 0, nbins - 1)
-        hi = jnp.floor(idx / SUB)
-        lo = jnp.floor(idx) - hi * SUB
-        oh_hi = (hi == sub_iota).astype(jnp.float32)  # (Pc, SUB)
-        oh_lo = (lo == sub_iota).astype(jnp.float32)
+        hi = jnp.floor(idx / SUB)[..., None]  # (R, L, 1)
+        lo = (jnp.floor(idx) - jnp.floor(idx / SUB) * SUB)[..., None]
+        # 3D one-hots, contracted over both pixel dims at once (avoids any
+        # reshape, which Mosaic's layout inference rejects here)
+        oh_hi = (hi == sub_iota3).astype(jnp.float32)  # (R, L, SUB)
+        oh_lo = (lo == sub_iota3).astype(jnp.float32)
         return hist + jax.lax.dot_general(
-            oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+            oh_hi, oh_lo, (((0, 1), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 

@@ -159,3 +159,53 @@ class TestTransformerStage:
         x = jnp.ones((2, 16, 16, 8))
         out, _ = init_and_apply(stage, x)
         assert out.shape == (2, 8, 8, 32)
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self):
+        import dataclasses
+
+        mc = small_model_cfg()
+        mc_r = dataclasses.replace(mc, remat=True)
+        enc = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4)
+        enc_r = Encoder(method="dwi", config=mc_r, channel_num=5, num_classes=4)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 5))
+        variables = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+
+        def loss(module, v, xx):
+            logits, _, _ = module.apply(v, xx, train=False)
+            return (logits**2).sum()
+
+        # same params work for both (remat does not change the param tree)
+        l2, g2 = jax.value_and_grad(
+            lambda v: loss(enc_r, {"params": v,
+                                   "batch_stats": variables["batch_stats"]},
+                           x)
+        )(variables["params"])
+        l1b, g1b = jax.value_and_grad(
+            lambda v: loss(enc, {"params": v,
+                                 "batch_stats": variables["batch_stats"]},
+                           x)
+        )(variables["params"])
+        assert abs(float(l1b) - float(l2)) < 1e-4
+        for a, b in zip(jax.tree.leaves(g1b), jax.tree.leaves(g2)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestAugmentationStats:
+    def test_flips_and_rotations_occur(self):
+        from dmf_tpu.data import augment_batch
+
+        imgs = jnp.zeros((16, 16, 16, 1)).at[:, :4, :4, 0].set(1.0)
+        out = np.asarray(augment_batch(jax.random.PRNGKey(0), imgs, 16))
+        # augmented batch must differ per-sample (not all identical)
+        diffs = [
+            not np.allclose(out[i], out[j])
+            for i in range(4) for j in range(i + 1, 4)
+        ]
+        assert any(diffs)
+        # mass roughly preserved on average (affine moves, zero-fills edges)
+        assert 0.1 < out.sum() / imgs.sum() <= 1.5
