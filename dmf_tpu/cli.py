@@ -149,7 +149,24 @@ def cmd_bench(args) -> int:
     return subprocess.call(cmd)
 
 
+def _pin_platform() -> None:
+    """Make JAX_PLATFORMS authoritative (the run.py:48-50 device-select
+    equivalent).  Some TPU plugins force-register themselves and ignore the
+    env var; re-assert it through jax.config before first backend use."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; keep whatever it picked
+
+
 def main(argv=None) -> int:
+    _pin_platform()
     parser = argparse.ArgumentParser(prog="dmf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

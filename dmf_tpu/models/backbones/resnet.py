@@ -35,6 +35,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
+    first_dilation: int = 0  # 0 -> same as dilation
     avg_down: bool = False
     dtype: Any = jnp.float32
 
@@ -62,8 +63,12 @@ class Bottleneck(nn.Module):
         out = _BN(self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         # torch pads dilation*(k-1)/2 on both sides; SAME differs for
-        # strided convs on even inputs
-        d = self.dilation
+        # strided convs on even inputs.  The 3x3 uses first_dilation — in
+        # timm/torchvision's dilated scheme the FIRST block of a newly
+        # dilated stage keeps the previous stage's dilation (timm resnet
+        # make_blocks prev_dilation plumbing); getting this wrong silently
+        # changes activations under imported pretrained checkpoints.
+        d = self.first_dilation or self.dilation
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             kernel_dilation=(d, d), padding=((d, d), (d, d)),
@@ -130,11 +135,14 @@ class ResNetFeatures(nn.Module):
 
         feats = []
         for stage in range(4):
+            prev_dilation = dilations[stage - 1] if stage > 0 else 1
             for block in range(self.layers[stage]):
                 x = Bottleneck(
                     planes=planes[stage],
                     stride=strides[stage] if block == 0 else 1,
                     dilation=dilations[stage],
+                    first_dilation=(prev_dilation if block == 0
+                                    else dilations[stage]),
                     avg_down=self.avg_down,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",

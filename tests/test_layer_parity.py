@@ -227,3 +227,92 @@ class TestResNetStemParity:
         h = fnn.relu(h)
         h = fnn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         assert np.allclose(np.asarray(h), from_t(ref), atol=1e-4)
+
+
+class TestDilatedResNetParity:
+    def test_full_resnet_vs_torch_timm_semantics(self, rng):
+        """Whole dilated (output_stride=8) ResNet vs a torch oracle built
+        with timm's block semantics: stride on the 3x3, and the FIRST block
+        of a newly dilated stage runs its 3x3 at the PREVIOUS stage's
+        dilation (timm resnet.py make_blocks prev_dilation; checkpoint-import
+        fidelity is a SURVEY.md §7 'hard part')."""
+        from dmf_tpu.models.backbones.resnet import ResNetFeatures
+
+        m = ResNetFeatures(in_channels=3, layers=(1, 1, 2, 2))
+        x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), x, train=False)
+        # randomize batch stats so BN is non-trivial; keep var well away from
+        # 0 so 1/sqrt(var) doesn't amplify magnitudes out of fp32 headroom
+        stats = jax.tree.map(
+            lambda v: jnp.asarray(
+                0.5 + np.random.RandomState(7).rand(*v.shape).astype(np.float32)
+            ),
+            variables["batch_stats"],
+        )
+        variables = {"params": variables["params"], "batch_stats": stats}
+        feats = m.apply(variables, x, train=False)
+
+        p, s = variables["params"], variables["batch_stats"]
+
+        def torch_bn(name, ch):
+            bn = nn.BatchNorm2d(ch).eval()
+            set_bn(bn, p[name]["BatchNorm_0"], s[name]["BatchNorm_0"])
+            return bn
+
+        def bottleneck(xt, pre, planes, in_ch, stride, dilation,
+                       first_dilation):
+            out_ch = planes * 4
+            bp, bs = p[pre], s[pre]
+            idn = xt
+            if in_ch != out_ch or stride != 1:
+                dw = conv_w(bp["downsample_conv"]["kernel"])
+                idn = TF.conv2d(xt, dw, stride=stride)
+                dbn = nn.BatchNorm2d(out_ch).eval()
+                set_bn(dbn, bp["downsample_bn"]["BatchNorm_0"],
+                       bs["downsample_bn"]["BatchNorm_0"])
+                idn = dbn(idn)
+            h = TF.conv2d(xt, conv_w(bp["conv1"]["kernel"]))
+            bn1 = nn.BatchNorm2d(planes).eval()
+            set_bn(bn1, bp["bn1"]["BatchNorm_0"], bs["bn1"]["BatchNorm_0"])
+            h = TF.relu(bn1(h))
+            d = first_dilation
+            h = TF.conv2d(h, conv_w(bp["conv2"]["kernel"]), stride=stride,
+                          padding=d, dilation=d)
+            bn2 = nn.BatchNorm2d(planes).eval()
+            set_bn(bn2, bp["bn2"]["BatchNorm_0"], bs["bn2"]["BatchNorm_0"])
+            h = TF.relu(bn2(h))
+            h = TF.conv2d(h, conv_w(bp["conv3"]["kernel"]))
+            bn3 = nn.BatchNorm2d(out_ch).eval()
+            set_bn(bn3, bp["bn3"]["BatchNorm_0"], bs["bn3"]["BatchNorm_0"])
+            return TF.relu(bn3(h) + idn)
+
+        xt = t_in(x)
+        xt = TF.conv2d(xt, conv_w(p["conv1"]["kernel"]), stride=2, padding=3)
+        xt = TF.relu(torch_bn("bn1", 64)(xt))
+        xt = TF.max_pool2d(xt, 3, stride=2, padding=1)
+
+        layers, planes = (1, 1, 2, 2), (64, 128, 256, 512)
+        strides = (1, 2, 1, 1)  # os=8: layers 3/4 dilate instead
+        dils = (1, 1, 2, 4)
+        ref_feats, in_ch = [], 64
+        for stage in range(4):
+            prev_d = dils[stage - 1] if stage else 1
+            for blk in range(layers[stage]):
+                xt = bottleneck(
+                    xt, f"layer{stage + 1}_block{blk}", planes[stage], in_ch,
+                    stride=strides[stage] if blk == 0 else 1,
+                    dilation=dils[stage],
+                    first_dilation=prev_d if blk == 0 else dils[stage],
+                )
+                in_ch = planes[stage] * 4
+            ref_feats.append(from_t(xt))
+
+        for ours, ref in zip(feats, ref_feats):
+            assert ours.shape == ref.shape
+            ours = np.asarray(ours)
+            # relative tolerance: activations compound over ~7 conv+BN
+            # layers, so compare against the feature magnitude
+            denom = np.abs(ref).max() + 1e-6
+            assert np.abs(ours - ref).max() / denom < 1e-5, (
+                np.abs(ours - ref).max(), denom
+            )

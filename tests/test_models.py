@@ -209,3 +209,47 @@ class TestAugmentationStats:
         assert any(diffs)
         # mass roughly preserved on average (affine moves, zero-fills edges)
         assert 0.1 < out.sum() / imgs.sum() <= 1.5
+
+
+class TestWeightInit:
+    def test_weight_init_distributions(self):
+        """Init matches the reference's initialize_model semantics
+        (model_module.py:1002-1023): Linear kernels kaiming-uniform
+        U(+-sqrt(6/fan_in)), conv kernels torch-default U(+-sqrt(1/fan_in)),
+        BatchNorm scale ~ N(1, 0.02), biases zero."""
+        from dmf_tpu.models.layers import (
+            bn_scale_init,
+            conv_kernel_init,
+            linear_kernel_init,
+        )
+
+        key = jax.random.PRNGKey(0)
+        fan_in = 256
+        lin = np.asarray(linear_kernel_init(key, (fan_in, 512)))
+        bound = np.sqrt(6.0 / fan_in)
+        assert lin.min() >= -bound - 1e-6 and lin.max() <= bound + 1e-6
+        # uniform over (-b, b) -> std ~ b/sqrt(3)
+        assert abs(lin.std() - bound / np.sqrt(3)) < 0.02 * bound
+
+        conv = np.asarray(conv_kernel_init(key, (3, 3, 16, 32)))
+        cbound = np.sqrt(1.0 / (3 * 3 * 16))
+        assert conv.min() >= -cbound - 1e-6 and conv.max() <= cbound + 1e-6
+
+        scale = np.asarray(bn_scale_init(key, (4096,)))
+        assert abs(scale.mean() - 1.0) < 5e-3
+        assert abs(scale.std() - 0.02) < 5e-3
+
+    def test_model_biases_zero_at_init(self):
+        mc = small_model_cfg()
+        enc = Encoder(method="dwi", config=mc, channel_num=14, num_classes=4)
+        variables = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, 32, 14)), train=False,
+        )
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        biases = [
+            np.asarray(v) for p, v in flat if "bias" in str(p[-1])
+        ]
+        assert biases, "expected bias leaves"
+        for b in biases:
+            assert np.all(b == 0.0)
