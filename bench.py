@@ -76,6 +76,10 @@ def main() -> None:
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "tta", "mc", "tta_mc"])
     parser.add_argument("--no-preprocess", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve with post-training int8 conv kernels "
+                             "(dmf_tpu.ops.quant; opt-in, not "
+                             "reference_compat)")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fusion training step instead "
                              "(reports steps/sec; BASELINE.md tracks this "
@@ -153,8 +157,21 @@ def main() -> None:
 
     dwi_vars, dce_vars, fusion_vars = init_on_cpu(init_all)
 
-    apply_fn = make_fusion_apply(dwi, dce, fusion)
     variables = {"dwi": dwi_vars, "dce": dce_vars, "fusion": fusion_vars}
+    if args.int8:
+        from dmf_tpu.ops.quant import make_quantized_fusion_apply
+
+        crng = np.random.RandomState(7)
+        calib = (
+            jnp.asarray(crng.rand(4, S, S, cfg.dwi_channel_num)
+                        .astype(np.float32)).astype(dtype),
+            jnp.asarray(crng.rand(4, S, S, cfg.dce_channel_num)
+                        .astype(np.float32)).astype(dtype),
+        )
+        apply_fn, _ = make_quantized_fusion_apply(
+            dwi, dce, fusion, variables, calibration=calib)
+    else:
+        apply_fn = make_fusion_apply(dwi, dce, fusion)
 
     if args.train:
         _bench_train(args, cfg, dwi, dce, fusion, variables)

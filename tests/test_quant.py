@@ -1,0 +1,156 @@
+"""Post-training int8 serving path (dmf_tpu/ops/quant.py).
+
+The reference has no quantized inference; these tests pin the PTQ math:
+exactness when data is exactly int8-representable, bounded error on real
+distributions, interceptor path-matching, and static-scale calibration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from dmf_tpu.ops.quant import (
+    build_quant_set,
+    calibrate_act_scales,
+    quantize_kernel_per_channel,
+    quantized_apply,
+)
+
+
+class TwoConv(nn.Module):
+    dilated: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="c1")(x)
+        x = nn.relu(x)
+        d = 2 if self.dilated else 1
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((d, d), (d, d)),
+                    kernel_dilation=(d, d), name="c2", use_bias=False)(x)
+        return x
+
+
+def _exact_params(shapes_tree, rng):
+    """Kernels as ints*scale with per-out-channel absmax forced to 127 so
+    per-channel quantization is lossless."""
+
+    def make(k):
+        if k.ndim == 4:
+            ints = rng.randint(-126, 127, k.shape).astype(np.float32)
+            ints[0, 0, 0, :] = 127.0
+            return jnp.asarray(ints * 0.01)
+        return jnp.asarray(rng.randn(*k.shape).astype(np.float32) * 0.01)
+
+    return jax.tree.map(make, shapes_tree)
+
+
+class TestQuantMath:
+    def test_kernel_roundtrip(self, rng):
+        k = rng.randn(3, 3, 16, 8).astype(np.float32)
+        q, scale = quantize_kernel_per_channel(k)
+        assert q.dtype == np.int8 and scale.shape == (8,)
+        back = q.astype(np.float32) * scale
+        assert np.abs(back - k).max() <= scale.max() * 0.5 + 1e-7
+
+    def test_exact_when_representable(self, rng):
+        """int8 conv == fp conv exactly (mod fp32 epsilon) when weights and
+        inputs are exactly int8*scale."""
+        m = TwoConv()
+        x0 = jnp.zeros((2, 16, 16, 8), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x0)
+        p = _exact_params(v["params"], rng)
+        v = {"params": p}
+        xi = rng.randint(-126, 127, (2, 16, 16, 8)).astype(np.float32)
+        xi.flat[0] = 127.0
+        x = jnp.asarray(xi * 0.5)
+
+        # first conv only: input exactly representable -> exact
+        class One(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                return nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)),
+                               name="c1")(x)
+
+        m1, v1 = One(), {"params": {"c1": p["c1"]}}
+        q1 = build_quant_set(v1["params"], min_fan_in=8, min_out=8)
+        ref = m1.apply(v1, x)
+        out = quantized_apply(m1, v1, q1, x)
+        rel = (np.abs(np.asarray(ref) - np.asarray(out)).max()
+               / (np.abs(np.asarray(ref)).max() + 1e-9))
+        assert rel < 1e-5
+
+    def test_bounded_error_on_gaussian(self, rng):
+        m = TwoConv()
+        x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        qset = build_quant_set(v["params"], min_fan_in=8, min_out=8)
+        assert sorted(qset) == ["/c1", "/c2"]
+        ref = np.asarray(m.apply(v, x))
+        out = np.asarray(quantized_apply(m, v, qset, x))
+        rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.05, rel  # requantized chain, per-tensor acts
+
+    def test_skips_small_convs(self, rng):
+        m = TwoConv()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)))
+        qset = build_quant_set(v["params"], min_fan_in=10_000, min_out=8)
+        assert qset == {}
+        x = jnp.asarray(rng.randn(1, 8, 8, 8).astype(np.float32))
+        # empty set -> bit-identical to the fp path
+        assert np.array_equal(
+            np.asarray(quantized_apply(m, v, qset, x)),
+            np.asarray(m.apply(v, x)),
+        )
+
+
+class TestCalibration:
+    def test_static_scales_recorded_and_used(self, rng):
+        m = TwoConv()
+        x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        qset = build_quant_set(v["params"], min_fan_in=8, min_out=8)
+        calibrate_act_scales(m, v, qset, x)
+        for key in ("/c1", "/c2"):
+            assert "x_scale" in qset[key]
+            assert float(qset[key]["x_scale"]) > 0
+        # the first conv's calibrated scale equals abs-max(x)/127
+        want = float(jnp.max(jnp.abs(x))) / 127.0
+        assert abs(float(qset["/c1"]["x_scale"]) - want) < 1e-6 * want + 1e-9
+
+        ref = np.asarray(m.apply(v, x))
+        out = np.asarray(quantized_apply(m, v, qset, x))
+        rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.05, rel
+
+    def test_encoder_quantized_forward(self, rng):
+        """End-to-end: quantize the real Encoder (no backbone, tiny) and
+        check logits stay close to fp."""
+        import dataclasses
+
+        from dmf_tpu.config import default_parameters
+        from dmf_tpu.models import Encoder
+
+        cfg = default_parameters()
+        mc = dataclasses.replace(
+            cfg.dwi_model, channels=(16, 32, 64), input_size=32,
+            use_backbone=False, proj_dim=8,
+        )
+        enc = Encoder(method="dwi", config=mc, channel_num=14, num_classes=4)
+        x = jnp.asarray(rng.rand(2, 32, 32, 14).astype(np.float32))
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        qset = build_quant_set(v["params"], min_fan_in=64, min_out=16)
+        assert qset, "expected some quantizable convs in the encoder"
+        calibrate_act_scales(enc, v, qset, x, train=False)
+        ref_logits, _, ref_mask = enc.apply(v, x, train=False)
+        q_logits, _, q_mask = quantized_apply(enc, v, qset, x, train=False)
+        assert np.abs(np.asarray(ref_logits) - np.asarray(q_logits)).max() < 0.15
+        # mask head consumes quantized features; probabilities stay close
+        pr = jax.nn.sigmoid(ref_mask)
+        pq = jax.nn.sigmoid(q_mask)
+        assert np.abs(np.asarray(pr) - np.asarray(pq)).mean() < 0.05
