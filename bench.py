@@ -188,18 +188,44 @@ def main() -> None:
 
     do_pre = not args.no_preprocess
 
-    def infer(variables, dwi_raw, dce_raw):
-        """Raw volumes -> class probabilities (the full serving path)."""
-        if do_pre:
-            dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
-            dx = append_adc(dx, adc_map)
-            cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks, std_scale)
-        else:
-            dx, cx = dwi_raw, dce_raw
-        dx = dx.astype(dtype)
-        cx = cx.astype(dtype)
-        logits, fused_mask, aux, _, _ = apply_fn(variables, dx, cx, train=False)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if args.mode != "normal":
+        # uncertainty-aware inference: the 4-view TTA x mc_passes MC-dropout
+        # ensemble as ONE compiled program (evals/predict.py; the reference
+        # runs it as a Python double loop of full forwards, train.py:569-600)
+        from dmf_tpu.evals.predict import make_fusion_predictor
+
+        predictor = make_fusion_predictor(cfg, dwi, dce, fusion,
+                                          mode=args.mode)
+        key = jax.random.PRNGKey(0)
+
+        def infer(variables, dwi_raw, dce_raw):
+            if do_pre:
+                dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
+                dx = append_adc(dx, adc_map)
+                cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks,
+                                         std_scale)
+            else:
+                dx, cx = dwi_raw, dce_raw
+            mean, std, _ = predictor(
+                variables["dwi"], variables["dce"], variables["fusion"],
+                dx.astype(dtype), cx.astype(dtype), key,
+            )
+            return mean, std
+    else:
+        def infer(variables, dwi_raw, dce_raw):
+            """Raw volumes -> class probabilities (the full serving path)."""
+            if do_pre:
+                dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
+                dx = append_adc(dx, adc_map)
+                cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks,
+                                         std_scale)
+            else:
+                dx, cx = dwi_raw, dce_raw
+            dx = dx.astype(dtype)
+            cx = cx.astype(dtype)
+            logits, fused_mask, aux, _, _ = apply_fn(variables, dx, cx,
+                                                     train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     jfn = jax.jit(infer)
 
@@ -218,8 +244,10 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     volumes_per_sec = args.steps * B / dt
+    metric = ("fusion_inference_throughput" if args.mode == "normal"
+              else f"fusion_{args.mode}_inference_throughput")
     result = {
-        "metric": "fusion_inference_throughput",
+        "metric": metric,
         "value": round(volumes_per_sec, 2),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(volumes_per_sec / 500.0, 4),
