@@ -207,6 +207,11 @@ class Config:
     backbone_debug: bool = False
     full_debug: bool = False
     debug_anomaly: bool = False  # maps to jax_debug_nans
+    # route train-batch assembly through the C++ prefetch loader
+    # (native/dmf_native.cpp; the reference's num_workers=11 analogue,
+    # prepare_single_model.py:141); silently falls back to the Python
+    # path when the library is unavailable
+    use_native_loader: bool = False
 
     num_epochs: int = 900
     batch_size: int = 32

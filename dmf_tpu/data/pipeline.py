@@ -93,8 +93,22 @@ def iterate_batches(
     pad_to_batch: bool = True,
     prefetch: int = 2,
     sharding=None,
+    native: bool = False,
 ) -> Iterator[Dict[str, jax.Array]]:
-    """Batch iterator with static shapes, a validity mask and device prefetch."""
+    """Batch iterator with static shapes, a validity mask and device prefetch.
+
+    ``native=True`` routes batch assembly through the C++ prefetch loader
+    (utils/native.py::NativeBatchLoader — threaded gather into a ring of
+    slots, the reference's num_workers=11 DataLoader analogue); falls back
+    to the Python path when the library is unavailable.
+    """
+    if native:
+        it = _native_host_batches(dataset, batch_size, shuffle, rng,
+                                  drop_last, pad_to_batch)
+        if it is not None:
+            yield from prefetch_to_device(it, size=prefetch,
+                                          sharding=sharding)
+            return
 
     def host_batches():
         for idx in batch_indices(
@@ -112,3 +126,47 @@ def iterate_batches(
             yield batch
 
     yield from prefetch_to_device(host_batches(), size=prefetch, sharding=sharding)
+
+
+def _native_host_batches(dataset, batch_size, shuffle, rng, drop_last,
+                         pad_to_batch):
+    """C++ prefetch-loader host iterator matching iterate_batches' contract
+    (static shapes via tail padding + valid mask), or None if unavailable."""
+    from ..utils.native import NativeBatchLoader
+
+    if not NativeBatchLoader.available():
+        return None
+    floats = {k: v for k, v in dataset.arrays.items() if k != "labels"}
+    labels = dataset.arrays.get("labels")
+    if not floats:
+        return None
+    seed = int((rng or np.random).randint(0, 2**31 - 1)) if shuffle else 0
+    loader = NativeBatchLoader(floats, labels, batch_size, shuffle=shuffle,
+                               seed=seed, drop_last=drop_last)
+
+    def gen():
+        try:
+            for batch in loader:
+                size = len(next(iter(batch.values())))
+                valid = np.ones(batch_size, np.float32)
+                if size < batch_size:
+                    if pad_to_batch:
+                        # repeat tail rows for static shapes; mark invalid
+                        batch = {
+                            k: np.resize(v, (batch_size,) + v.shape[1:])
+                            for k, v in batch.items()
+                        }
+                        valid[size:] = 0.0
+                    else:
+                        valid = valid[:size]
+                else:
+                    # slot buffers are recycled on release: copy now (the
+                    # prefetcher device_puts immediately, but keep the host
+                    # contract safe for any consumer)
+                    batch = {k: np.array(v) for k, v in batch.items()}
+                batch["valid"] = valid
+                yield batch
+        finally:
+            loader.close()
+
+    return gen()

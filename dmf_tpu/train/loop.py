@@ -134,7 +134,8 @@ def fit_single(
         # ---- train ----
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(
-            train_ds, cfg.batch_size, shuffle=True, rng=np_rng
+            train_ds, cfg.batch_size, shuffle=True, rng=np_rng,
+            native=cfg.use_native_loader,
         ):
             rng, aug_key, drop_key = jax.random.split(rng, 3)
             proc = {
@@ -316,7 +317,8 @@ def fit_fusion(
 
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(train_ds, cfg.batch_size, shuffle=True,
-                                     rng=np_rng):
+                                     rng=np_rng,
+                                     native=cfg.use_native_loader):
             rng, drop_key = jax.random.split(rng)
             proc = {
                 "dwi": batch["dwi"], "dce": batch["dce"],

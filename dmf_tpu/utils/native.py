@@ -137,3 +137,139 @@ def gather_rows(
         len(indices), row_elems, _fptr(out), n_threads,
     )
     return out if rc == 0 else None
+
+
+def _bind_loader(lib) -> bool:
+    """Register loader_* signatures once; returns whether the loaded
+    library exports the prefetch-loader surface."""
+    if getattr(lib, "_loader_bound", False):
+        return True
+    if not hasattr(lib, "loader_create"):
+        return False
+    i64 = ctypes.c_int64
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.loader_create.argtypes = [
+        ctypes.POINTER(fp), ctypes.POINTER(i64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        i64, i64, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(fp),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(i64),
+    ]
+    lib.loader_next.restype = i64
+    lib.loader_release.argtypes = [ctypes.c_void_p, i64]
+    lib.loader_release.restype = None
+    lib.loader_new_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.loader_new_epoch.restype = None
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.loader_destroy.restype = None
+    lib._loader_bound = True
+    return True
+
+
+class NativeBatchLoader:
+    """Threaded prefetching batch loader over K aligned in-memory arrays.
+
+    The native analogue of the reference's DataLoader worker pool
+    (num_workers=11, prepare_single_model.py:140-141): C++ threads gather
+    shuffled batches into a ring of pre-allocated slots ahead of the
+    consumer; delivery is in batch order.  Yields dicts of numpy views —
+    valid only until the next iteration step (the slot is recycled), so
+    consumers must copy or ``jax.device_put`` before advancing.
+
+    ``arrays`` maps names to (N, ...) float arrays; ``labels`` is an
+    optional (N,) int array under the "labels" key.  Check
+    ``NativeBatchLoader.available()`` and fall back to
+    ``data.pipeline.iterate_batches`` when False.
+    """
+
+    def __init__(self, arrays: dict, labels: Optional[np.ndarray],
+                 batch: int, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, ring_slots: int = 4,
+                 n_threads: int = 0):
+        lib = load()
+        if lib is None or not _bind_loader(lib):
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        # keep references so the arrays outlive the C loader
+        self._arrays = {k: np.ascontiguousarray(v, np.float32)
+                        for k, v in arrays.items()}
+        self._labels = (np.ascontiguousarray(labels, np.int32)
+                        if labels is not None else None)
+        self._names = list(self._arrays)
+        ns = {len(v) for v in self._arrays.values()}
+        if self._labels is not None:
+            ns.add(len(self._labels))
+        if len(ns) != 1:
+            raise ValueError("misaligned arrays")
+        self.n = ns.pop()
+        self.batch = int(batch)
+        self.shapes = {k: v.shape[1:] for k, v in self._arrays.items()}
+
+        K = len(self._names)
+        fp = ctypes.POINTER(ctypes.c_float)
+        arr_ptrs = (fp * K)(*[_fptr(self._arrays[k]) for k in self._names])
+        elems = (ctypes.c_int64 * K)(
+            *[int(np.prod(self.shapes[k])) for k in self._names])
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 11)
+        self._h = lib.loader_create(
+            arr_ptrs, elems, K,
+            self._labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if self._labels is not None
+            else ctypes.POINTER(ctypes.c_int32)(),
+            self.n, self.batch, int(shuffle), seed, int(drop_last),
+            ring_slots, n_threads,
+        )
+        if not self._h:
+            raise RuntimeError("loader_create failed")
+
+    @staticmethod
+    def available() -> bool:
+        lib = load()
+        return lib is not None and _bind_loader(lib)
+
+    def new_epoch(self, seed: int) -> None:
+        self._lib.loader_new_epoch(self._h, seed)
+
+    def __iter__(self):
+        K = len(self._names)
+        fp = ctypes.POINTER(ctypes.c_float)
+        while True:
+            outs = (fp * K)()
+            pl = ctypes.POINTER(ctypes.c_int32)()
+            slot = ctypes.c_int64(0)
+            size = self._lib.loader_next(self._h, outs, ctypes.byref(pl),
+                                         ctypes.byref(slot))
+            if size == 0:
+                return
+            batch = {}
+            for a, name in enumerate(self._names):
+                shape = self.shapes[name]
+                n_el = int(np.prod(shape))
+                flat = np.ctypeslib.as_array(outs[a],
+                                             shape=(self.batch * n_el,))
+                batch[name] = flat[: size * n_el].reshape((size,) + shape)
+            if self._labels is not None:
+                lab = np.ctypeslib.as_array(pl, shape=(self.batch,))
+                batch["labels"] = lab[:size]
+            try:
+                yield batch
+            finally:
+                # slot buffers are recycled after release; consumers must
+                # have copied/uploaded by the next iteration step
+                self._lib.loader_release(self._h, slot.value)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
