@@ -76,6 +76,9 @@ def main() -> None:
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "tta", "mc", "tta_mc"])
     parser.add_argument("--no-preprocess", action="store_true")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the timed "
+                             "loop into DIR (view with tensorboard)")
     parser.add_argument("--int8", action="store_true",
                         help="serve with post-training int8 conv kernels "
                              "(dmf_tpu.ops.quant; opt-in, not "
@@ -158,8 +161,12 @@ def main() -> None:
     dwi_vars, dce_vars, fusion_vars = init_on_cpu(init_all)
 
     variables = {"dwi": dwi_vars, "dce": dce_vars, "fusion": fusion_vars}
+    quant_fwd = None
     if args.int8:
-        from dmf_tpu.ops.quant import make_quantized_fusion_apply
+        from dmf_tpu.ops.quant import (
+            make_quantized_fusion_apply,
+            make_quantized_fusion_fwd,
+        )
 
         crng = np.random.RandomState(7)
         calib = (
@@ -168,8 +175,9 @@ def main() -> None:
             jnp.asarray(crng.rand(4, S, S, cfg.dce_channel_num)
                         .astype(np.float32)).astype(dtype),
         )
-        apply_fn, _ = make_quantized_fusion_apply(
+        apply_fn, qsets = make_quantized_fusion_apply(
             dwi, dce, fusion, variables, calibration=calib)
+        quant_fwd = make_quantized_fusion_fwd(dwi, dce, fusion, qsets)
     else:
         apply_fn = make_fusion_apply(dwi, dce, fusion)
 
@@ -195,7 +203,8 @@ def main() -> None:
         from dmf_tpu.evals.predict import make_fusion_predictor
 
         predictor = make_fusion_predictor(cfg, dwi, dce, fusion,
-                                          mode=args.mode)
+                                          mode=args.mode,
+                                          fwd_override=quant_fwd)
         key = jax.random.PRNGKey(0)
 
         def infer(variables, dwi_raw, dce_raw):
@@ -237,15 +246,22 @@ def main() -> None:
     for _ in range(args.warmup):
         jax.block_until_ready(jfn(variables, dwi_raw, dce_raw))
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = jfn(variables, dwi_raw, dce_raw)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    trace_ctx = (jax.profiler.trace(args.profile) if args.profile
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = jfn(variables, dwi_raw, dce_raw)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
 
     volumes_per_sec = args.steps * B / dt
     metric = ("fusion_inference_throughput" if args.mode == "normal"
               else f"fusion_{args.mode}_inference_throughput")
+    if args.int8:
+        metric += "_int8"
     result = {
         "metric": metric,
         "value": round(volumes_per_sec, 2),

@@ -114,6 +114,7 @@ def make_fusion_predictor(
     fusion_model,
     mode: Optional[str] = None,
     mc_passes: Optional[int] = None,
+    fwd_override: Optional[Callable] = None,
 ) -> Callable:
     """Fusion inference: both encoders + fusion per pass, fully vectorized.
 
@@ -121,13 +122,18 @@ def make_fusion_predictor(
     rerun both encoders inside the Python TTA/MC double loop; here the whole
     ensemble is one compiled program.
 
+    ``fwd_override`` swaps the per-pass forward (same signature as the
+    internal ``fusion_fwd``) — used by the int8 serving path
+    (ops/quant.py::make_quantized_fusion_fwd) to run quantized
+    uncertainty inference.
+
     Returns ``predict(dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs,
     rng) -> (mean_probs, std_probs, aux)``.
     """
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
 
-    def fusion_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng):
+    def default_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng):
         rngs = {"dropout": rng} if rng is not None else None
         _, dwi_aux, dwi_mask = dwi_model.apply(
             dwi_vars, dwi_x, train=False, mc=mc, rngs=rngs
@@ -141,6 +147,8 @@ def make_fusion_predictor(
             train=False, mc=mc, rngs=rngs,
         )
         return logits, aux
+
+    fusion_fwd = fwd_override or default_fwd
 
     def predict(dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs, rng):
         B = dwi_imgs.shape[0]

@@ -247,3 +247,27 @@ def make_quantized_fusion_apply(dwi_model, dce_model, fusion_model,
         return logits, fused_mask, aux, parts, None
 
     return apply_fn, qsets
+
+
+def make_quantized_fusion_fwd(dwi_model, dce_model, fusion_model, qsets):
+    """Per-pass quantized fusion forward with the signature
+    ``(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng) ->
+    (logits, aux)`` — plugs into
+    evals.predict.make_fusion_predictor(fwd_override=...) so TTA x
+    MC-dropout uncertainty inference runs on the int8 serving path."""
+
+    def fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        _, dwi_aux, dwi_mask = quantized_apply(
+            dwi_model, dwi_vars, qsets["dwi"], dwi_x,
+            train=False, mc=mc, rngs=rngs)
+        _, dce_aux, dce_mask = quantized_apply(
+            dce_model, dce_vars, qsets["dce"], dce_x,
+            train=False, mc=mc, rngs=rngs)
+        logits, fused_mask, aux = quantized_apply(
+            fusion_model, fusion_vars, qsets["fusion"],
+            dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_mask, dce_mask,
+            train=False, mc=mc, rngs=rngs)
+        return logits, aux
+
+    return fwd

@@ -154,3 +154,64 @@ class TestCalibration:
         pr = jax.nn.sigmoid(ref_mask)
         pq = jax.nn.sigmoid(q_mask)
         assert np.abs(np.asarray(pr) - np.asarray(pq)).mean() < 0.05
+
+
+class TestQuantizedPredictor:
+    def test_fwd_override_composes_with_tta_mc(self, rng):
+        """The quantized per-pass forward plugs into make_fusion_predictor
+        and produces probabilities close to the fp predictor."""
+        import dataclasses
+
+        from dmf_tpu.config import default_parameters
+        from dmf_tpu.evals.predict import make_fusion_predictor
+        from dmf_tpu.models import Encoder, FusionModel
+        from dmf_tpu.ops.quant import (
+            make_quantized_fusion_apply,
+            make_quantized_fusion_fwd,
+        )
+        from dmf_tpu.utils.init import init_on_cpu
+
+        cfg = default_parameters(batch_size=2)
+        mc = dataclasses.replace(
+            cfg.dwi_model, channels=(8, 16, 32), input_size=32,
+            use_backbone=False, proj_dim=8,
+        )
+        fs = dataclasses.replace(cfg.fusion_model.fusion_specific,
+                                 dwi_out_channels=32, dce_out_channels=32)
+        fmc = dataclasses.replace(mc, fusion_specific=fs)
+        cfg = cfg.replace(dwi_model=mc, dce_model=mc, fusion_model=fmc,
+                          mc_passes=2)
+
+        dwi = Encoder(method="dwi", config=mc, channel_num=14, num_classes=4)
+        dce = Encoder(method="dce", config=mc, channel_num=6, num_classes=4)
+        fusion = FusionModel(config=fmc, num_classes=4)
+        k = {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}
+        xd = jnp.asarray(rng.rand(2, 32, 32, 14).astype(np.float32))
+        xc = jnp.asarray(rng.rand(2, 32, 32, 6).astype(np.float32))
+
+        def init_all():
+            dv = dwi.init(k, xd, train=False)
+            cv = dce.init(k, xc, train=False)
+            _, da, dm = dwi.apply(dv, xd, train=False)
+            _, ca, cm = dce.apply(cv, xc, train=False)
+            fv = fusion.init(k, da["raw_feats"], ca["raw_feats"], dm, cm,
+                             train=False)
+            return dv, cv, fv
+
+        dv, cv, fv = init_all()
+        variables = {"dwi": dv, "dce": cv, "fusion": fv}
+        _, qsets = make_quantized_fusion_apply(
+            dwi, dce, fusion, variables, calibration=(xd, xc),
+            min_fan_in=64, min_out=16)
+        qfwd = make_quantized_fusion_fwd(dwi, dce, fusion, qsets)
+
+        key = jax.random.PRNGKey(3)
+        fp_pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc")
+        q_pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc",
+                                       fwd_override=qfwd)
+        mp, sp, _ = fp_pred(dv, cv, fv, xd, xc, key)
+        mq, sq, _ = q_pred(dv, cv, fv, xd, xc, key)
+        assert mp.shape == mq.shape == (2, 4)
+        # same rngs, same ensemble structure -> probabilities close
+        assert np.abs(np.asarray(mp) - np.asarray(mq)).max() < 0.05
