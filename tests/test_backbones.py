@@ -205,3 +205,34 @@ class TestEncoderWithBackbone:
         assert all(
             g == 0 for g in jax.tree.leaves(spec.group_ids["backbone_adapter"])
         )
+
+    def test_vit_backbone_encoder_forward(self):
+        """ViT/DINO path: 12 token outputs chained [0-2]/[3-6]/[7-11]
+        (foundation_model.py:527-536), tokens reshaped to maps by the
+        adapter (model_module.py:457-467)."""
+        cfg = default_parameters()
+        mc = dataclasses.replace(
+            cfg.dwi_model, input_size=64, proj_dim=8,
+            backbone_str="dino_vitbase16_pretrain",
+        )
+        mc = resolve_backbone_config(mc)
+        assert mc.transformer_backbone
+        assert mc.backbone_index_lists == ((0, 1, 2), (3, 4, 5, 6),
+                                           (7, 8, 9, 10, 11))
+        backbone = ViTFeatures(in_channels=5, img_size=64, embed_dim=48,
+                               depth=12, num_heads=4)
+        enc = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4,
+                      backbone=backbone)
+        x = jnp.zeros((2, 64, 64, 5))
+        variables = enc.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        logits, aux, mask_pred = enc.apply(variables, x, train=False)
+        assert logits.shape == (2, 4)
+        f1, f2, f3 = aux["raw_feats"]
+        # ViT tokens come back at stride 16 (4x4 maps for 64^2), and the
+        # vit config disables block downsampling (downsample=(F,F,F))
+        assert f1.shape[1:3] == f2.shape[1:3] == f3.shape[1:3] == (4, 4)
+        assert mask_pred.shape == (2, 32, 32, 1)
