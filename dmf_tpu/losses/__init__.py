@@ -18,7 +18,8 @@ from .aux import (
     recon_image_loss,
     single_model_recon_loss,
 )
-from .selectors import get_classification_loss_fn, get_mask_loss_fn
+from .selectors import (get_classification_loss_fn, get_mask_loss_fn,
+                        get_recon_loss_fn)
 
 __all__ = [
     "compute_class_weights",
@@ -41,4 +42,5 @@ __all__ = [
     "single_model_recon_loss",
     "get_classification_loss_fn",
     "get_mask_loss_fn",
+    "get_recon_loss_fn",
 ]

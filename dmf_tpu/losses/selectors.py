@@ -45,6 +45,27 @@ def get_classification_loss_fn(
     )
 
 
+def get_recon_loss_fn(
+    cfg: Config, method: str
+) -> Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]]:
+    """Build the reconstruction loss. Reference: selector_helpers.py:51-64
+    (``mse`` is the only supported code; None when recon is disabled).
+
+    Note the training steps use the Charbonnier image-recon loss from
+    losses/aux.py (train.py:1041-1048 semantics); this selector mirrors the
+    reference's separate MSE selector surface.
+    """
+    mc = cfg.model_config(method)
+    if not mc.recon_enabled:
+        return None
+    if mc.reconstruction_loss_code == "mse":
+        return lambda pred, target: jnp.mean((pred - target) ** 2)
+    raise ValueError(
+        f"Invalid {method} reconstruction_loss_code "
+        f"{mc.reconstruction_loss_code!r}. Only 'mse' supported."
+    )
+
+
 def get_mask_loss_fn(
     cfg: Config, method: str
 ) -> Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]]:

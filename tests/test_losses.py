@@ -198,3 +198,31 @@ class TestSelectors:
         cfg = default_parameters()
         fn = L.get_mask_loss_fn(cfg, "dwi")
         assert fn is L.soft_dice_loss
+
+
+class TestReconSelector:
+    def test_mse_selector(self):
+        """selector_helpers.py:51-64: mse-only, None when disabled."""
+        import dataclasses
+
+        from dmf_tpu.config import default_parameters
+        from dmf_tpu.losses.selectors import get_recon_loss_fn
+
+        cfg = default_parameters()
+        fn = get_recon_loss_fn(cfg, "dwi")
+        a = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 1),
+                        jnp.float32)
+        b = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 1),
+                        jnp.float32)
+        want = torch.nn.MSELoss()(torch.tensor(np.asarray(a)),
+                                  torch.tensor(np.asarray(b))).item()
+        assert abs(float(fn(a, b)) - want) < 1e-6
+
+        off = cfg.replace(dwi_model=dataclasses.replace(
+            cfg.dwi_model, recon_enabled=False))
+        assert get_recon_loss_fn(off, "dwi") is None
+
+        bad = cfg.replace(dwi_model=dataclasses.replace(
+            cfg.dwi_model, reconstruction_loss_code="l1"))
+        with pytest.raises(ValueError):
+            get_recon_loss_fn(bad, "dwi")

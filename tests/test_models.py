@@ -253,3 +253,26 @@ class TestWeightInit:
         assert biases, "expected bias leaves"
         for b in biases:
             assert np.all(b == 0.0)
+
+
+class TestCaptureFeatures:
+    def test_grabs_block_outputs(self):
+        """Functional GetWeights equivalent (train.py:926-942): capture a
+        named submodule's output from a full forward."""
+        from dmf_tpu.utils.introspect import capture_features
+
+        mc = small_model_cfg()
+        enc = Encoder(method="dwi", config=mc, channel_num=14, num_classes=4)
+        x = jnp.zeros((2, 32, 32, 14))
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        (logits, aux, mask), feats = capture_features(
+            enc, v, x, train=False, path_filter="block1")
+        assert "block1" in feats
+        # the captured block1 output equals the raw_feats aux entry
+        blk = feats["block1"]
+        blk = blk[0] if isinstance(blk, tuple) else blk
+        assert np.allclose(np.asarray(blk), np.asarray(aux["raw_feats"][0]))
