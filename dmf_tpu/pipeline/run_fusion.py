@@ -107,11 +107,15 @@ def build_fusion_state(
 
 def test_fusion_model(
     cfg: Config, dwi_model, dce_model, fusion_model, state: TrainState,
-    test_data: Dict[str, np.ndarray], seed: int = 0,
+    test_data: Dict[str, np.ndarray], seed: int = 0, int8: bool = False,
 ) -> Dict[str, Any]:
     """TTA x MC fusion test (train_fusion.py:342-434 semantics), plus the
-    gating-weight aggregation reported as modality attention."""
-    predictor = make_fusion_predictor(cfg, dwi_model, dce_model, fusion_model)
+    gating-weight aggregation reported as modality attention.
+
+    ``int8=True`` serves the ensemble on the post-training-quantized conv
+    path (ops/quant.py), calibrated on the first test batch — an opt-in
+    deployment mode, not reference behavior.
+    """
     ds = ArrayDataset(dwi=test_data["dwi"], dce=test_data["dce"],
                       labels=test_data["labels"])
     rng = jax.random.PRNGKey(seed)
@@ -120,6 +124,23 @@ def test_fusion_model(
         m: {"params": state.params[m], "batch_stats": state.batch_stats[m]}
         for m in ("dwi", "dce", "fusion")
     }
+    fwd_override = None
+    if int8:
+        from ..ops.quant import (
+            make_quantized_fusion_apply,
+            make_quantized_fusion_fwd,
+        )
+
+        nc = min(len(test_data["dwi"]), 8)
+        _, qsets = make_quantized_fusion_apply(
+            dwi_model, dce_model, fusion_model, variables,
+            calibration=(jnp.asarray(test_data["dwi"][:nc]),
+                         jnp.asarray(test_data["dce"][:nc])),
+        )
+        fwd_override = make_quantized_fusion_fwd(
+            dwi_model, dce_model, fusion_model, qsets)
+    predictor = make_fusion_predictor(cfg, dwi_model, dce_model, fusion_model,
+                                      fwd_override=fwd_override)
     for batch in iterate_batches(ds, cfg.batch_size, shuffle=False):
         rng, sub = jax.random.split(rng)
         mean_probs, std_probs, aux = predictor(
@@ -221,10 +242,10 @@ def run_fusion_model(
 
 def fusion_model_test(
     cfg: Config, dwi_model, dce_model, fusion_model, state: TrainState,
-    test_data: Dict[str, np.ndarray], seed: int = 0,
+    test_data: Dict[str, np.ndarray], seed: int = 0, int8: bool = False,
 ) -> Dict[str, Any]:
     """Standalone fusion evaluation — API-parity alias for the reference's
     manual eval loop (model_test.py:99-202); delegates to the compiled
-    TTA x MC test path."""
+    TTA x MC test path (optionally on the int8 serving path)."""
     return test_fusion_model(cfg, dwi_model, dce_model, fusion_model, state,
-                             test_data, seed)
+                             test_data, seed, int8=int8)

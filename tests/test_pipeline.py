@@ -156,3 +156,50 @@ class TestTorchStoreLoader:
         assert raw["imgs"].shape == (n, 16, 16, 13)  # transposed to NHWC
         assert raw["masks"].shape == (n, 16, 16, 1)
         assert np.allclose(raw["imgs"][0, :, :, 0], dwi[0, 0])
+
+
+class TestInt8ServingPath:
+    def test_fusion_model_test_int8(self, tiny_cfg):
+        """fusion_model_test(int8=True): the PTQ serving path through the
+        user-facing pipeline API, metrics close to the fp path."""
+        import jax
+        import jax.numpy as jnp
+
+        from dmf_tpu.models import Encoder
+        from dmf_tpu.pipeline.run_fusion import (
+            build_fusion_state,
+            fusion_model_test,
+        )
+        from dmf_tpu.train import TrainState, adamw_init
+
+        cfg = tiny_cfg
+        rng = np.random.RandomState(0)
+
+        def make_encoder(method, ch):
+            enc = Encoder(method=method, config=cfg.model_config(method),
+                          channel_num=ch, num_classes=cfg.class_num)
+            x = jnp.zeros((1, 32, 32, ch))
+            v = enc.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x, train=False)
+            st = TrainState(params=v["params"],
+                            batch_stats=v.get("batch_stats", {}),
+                            opt_state=adamw_init(v["params"]),
+                            step=jnp.zeros((), jnp.int32))
+            return enc, st
+
+        dwi, dwi_st = make_encoder("dwi", cfg.dwi_channel_num)
+        dce, dce_st = make_encoder("dce", cfg.dce_channel_num)
+        fusion, state = build_fusion_state(cfg, dwi, dwi_st, dce, dce_st)
+
+        test_data = {
+            "dwi": rng.rand(10, 32, 32, cfg.dwi_channel_num).astype(np.float32),
+            "dce": rng.rand(10, 32, 32, cfg.dce_channel_num).astype(np.float32),
+            "labels": (np.arange(10) % cfg.class_num).astype(np.int64),
+        }
+        fp = fusion_model_test(cfg, dwi, dce, fusion, state, test_data)
+        q = fusion_model_test(cfg, dwi, dce, fusion, state, test_data,
+                              int8=True)
+        assert set(q["metrics"]) == set(fp["metrics"])
+        # untrained nets, random data: probabilities should still be close
+        assert np.abs(q["probs"] - fp["probs"]).max() < 0.1
