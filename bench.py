@@ -69,7 +69,10 @@ def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=128,
+                        help="128 is the measured sweet spot on v5e "
+                             "(sweep: 64:718 96:762 128:770 192:715 "
+                             "256:756 320:756 vol/s)")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--image-size", type=int, default=256)
@@ -161,27 +164,10 @@ def main() -> None:
     dwi_vars, dce_vars, fusion_vars = init_on_cpu(init_all)
 
     variables = {"dwi": dwi_vars, "dce": dce_vars, "fusion": fusion_vars}
-    quant_fwd = None
-    if args.int8:
-        from dmf_tpu.ops.quant import (
-            make_quantized_fusion_apply,
-            make_quantized_fusion_fwd,
-        )
-
-        crng = np.random.RandomState(7)
-        calib = (
-            jnp.asarray(crng.rand(4, S, S, cfg.dwi_channel_num)
-                        .astype(np.float32)).astype(dtype),
-            jnp.asarray(crng.rand(4, S, S, cfg.dce_channel_num)
-                        .astype(np.float32)).astype(dtype),
-        )
-        apply_fn, qsets = make_quantized_fusion_apply(
-            dwi, dce, fusion, variables, calibration=calib)
-        quant_fwd = make_quantized_fusion_fwd(dwi, dce, fusion, qsets)
-    else:
-        apply_fn = make_fusion_apply(dwi, dce, fusion)
 
     if args.train:
+        # training has no int8 path (PTQ is inference-only); dispatch
+        # before any quantization setup
         _bench_train(args, cfg, dwi, dce, fusion, variables)
         return
 
@@ -196,6 +182,39 @@ def main() -> None:
 
     do_pre = not args.no_preprocess
 
+    def preprocess(dwi_raw, dce_raw):
+        """Raw volumes -> model inputs (shared by every bench mode)."""
+        if not do_pre:
+            return dwi_raw.astype(dtype), dce_raw.astype(dtype)
+        dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
+        dx = append_adc(dx, adc_map)
+        cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks,
+                                 std_scale)
+        return dx.astype(dtype), cx.astype(dtype)
+
+    quant_fwd = None
+    if args.int8:
+        from dmf_tpu.ops.quant import (
+            make_quantized_fusion_apply,
+            make_quantized_fusion_fwd,
+        )
+
+        # calibrate on PREPROCESSED volumes (what the model actually sees
+        # at serving time) with MC-dropout active when benching mc modes
+        crng = np.random.RandomState(7)
+        c_dwi_in = (cfg.dwi_base_channel_num if do_pre
+                    else cfg.dwi_channel_num)
+        calib = jax.jit(preprocess)(
+            jnp.asarray(crng.rand(4, S, S, c_dwi_in).astype(np.float32)),
+            jnp.asarray(crng.rand(4, S, S, C_dce).astype(np.float32)),
+        )
+        apply_fn, qsets = make_quantized_fusion_apply(
+            dwi, dce, fusion, variables, calibration=calib,
+            calibration_mc=args.mode in ("mc", "tta_mc"))
+        quant_fwd = make_quantized_fusion_fwd(dwi, dce, fusion, qsets)
+    else:
+        apply_fn = make_fusion_apply(dwi, dce, fusion)
+
     if args.mode != "normal":
         # uncertainty-aware inference: the 4-view TTA x mc_passes MC-dropout
         # ensemble as ONE compiled program (evals/predict.py; the reference
@@ -208,30 +227,16 @@ def main() -> None:
         key = jax.random.PRNGKey(0)
 
         def infer(variables, dwi_raw, dce_raw):
-            if do_pre:
-                dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
-                dx = append_adc(dx, adc_map)
-                cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks,
-                                         std_scale)
-            else:
-                dx, cx = dwi_raw, dce_raw
+            dx, cx = preprocess(dwi_raw, dce_raw)
             mean, std, _ = predictor(
                 variables["dwi"], variables["dce"], variables["fusion"],
-                dx.astype(dtype), cx.astype(dtype), key,
+                dx, cx, key,
             )
             return mean, std
     else:
         def infer(variables, dwi_raw, dce_raw):
             """Raw volumes -> class probabilities (the full serving path)."""
-            if do_pre:
-                dx = dwi_normalize(dwi_raw, skip_last=True, zero_last=True)
-                dx = append_adc(dx, adc_map)
-                cx = nyul_transform_fast(dce_raw, chan_landmarks, landmarks,
-                                         std_scale)
-            else:
-                dx, cx = dwi_raw, dce_raw
-            dx = dx.astype(dtype)
-            cx = cx.astype(dtype)
+            dx, cx = preprocess(dwi_raw, dce_raw)
             logits, fused_mask, aux, _, _ = apply_fn(variables, dx, cx,
                                                      train=False)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -131,7 +131,13 @@ def iterate_batches(
 def _native_host_batches(dataset, batch_size, shuffle, rng, drop_last,
                          pad_to_batch):
     """C++ prefetch-loader host iterator matching iterate_batches' contract
-    (static shapes via tail padding + valid mask), or None if unavailable."""
+    (static shapes via tail padding + valid mask), or None if unavailable.
+
+    The loader (ring buffers + worker threads) is cached on the dataset and
+    reused across epochs via its new_epoch API — rebuilding it per epoch
+    would reallocate hundreds of MB of slot buffers and respawn threads
+    every epoch of a 900-epoch run.
+    """
     from ..utils.native import NativeBatchLoader
 
     if not NativeBatchLoader.available():
@@ -141,32 +147,42 @@ def _native_host_batches(dataset, batch_size, shuffle, rng, drop_last,
     if not floats:
         return None
     seed = int((rng or np.random).randint(0, 2**31 - 1)) if shuffle else 0
-    loader = NativeBatchLoader(floats, labels, batch_size, shuffle=shuffle,
-                               seed=seed, drop_last=drop_last)
+
+    cached = getattr(dataset, "_native_loader", None)
+    cache_key = (batch_size, bool(shuffle), bool(drop_last))
+    if cached is not None and cached[0] == cache_key:
+        loader = cached[1]
+        loader.new_epoch(seed)
+    else:
+        if cached is not None:
+            cached[1].close()
+        loader = NativeBatchLoader(floats, labels, batch_size,
+                                   shuffle=shuffle, seed=seed,
+                                   drop_last=drop_last)
+        dataset._native_loader = (cache_key, loader)
 
     def gen():
-        try:
-            for batch in loader:
-                size = len(next(iter(batch.values())))
-                valid = np.ones(batch_size, np.float32)
-                if size < batch_size:
-                    if pad_to_batch:
-                        # repeat tail rows for static shapes; mark invalid
-                        batch = {
-                            k: np.resize(v, (batch_size,) + v.shape[1:])
-                            for k, v in batch.items()
-                        }
-                        valid[size:] = 0.0
-                    else:
-                        valid = valid[:size]
+        for batch in loader:
+            size = len(next(iter(batch.values())))
+            valid = np.ones(batch_size, np.float32)
+            if size < batch_size:
+                if pad_to_batch:
+                    # repeat tail rows for static shapes; mark invalid
+                    # (np.resize copies, so the slot view is not retained)
+                    batch = {
+                        k: np.resize(v, (batch_size,) + v.shape[1:])
+                        for k, v in batch.items()
+                    }
+                    valid[size:] = 0.0
                 else:
-                    # slot buffers are recycled on release: copy now (the
-                    # prefetcher device_puts immediately, but keep the host
-                    # contract safe for any consumer)
+                    valid = valid[:size]
                     batch = {k: np.array(v) for k, v in batch.items()}
-                batch["valid"] = valid
-                yield batch
-        finally:
-            loader.close()
+            else:
+                # slot buffers are recycled on release: copy now (the
+                # prefetcher device_puts immediately, but keep the host
+                # contract safe for any consumer)
+                batch = {k: np.array(v) for k, v in batch.items()}
+            batch["valid"] = valid
+            yield batch
 
     return gen()

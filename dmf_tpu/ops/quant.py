@@ -95,11 +95,13 @@ def _static_quantize(x: jnp.ndarray, scale) -> jnp.ndarray:
     return xq.astype(jnp.int8)
 
 
-def _canon_padding(conv: nn.Conv, kernel_hw, dilation):
+def _canon_padding(conv: nn.Conv):
     """Resolve flax padding spec to explicit per-dim (lo, hi) pairs."""
     pad = conv.padding
     if isinstance(pad, str):
         return pad  # 'SAME'/'VALID' pass through to lax
+    if isinstance(pad, int):  # flax allows a bare int
+        return ((pad, pad), (pad, pad))
     out = []
     for p in pad:
         out.append((p, p) if isinstance(p, int) else tuple(p))
@@ -127,7 +129,7 @@ def _quant_conv_call(conv: nn.Conv, x: jnp.ndarray, q: Dict[str, jnp.ndarray],
     )
     acc = jax.lax.conv_general_dilated(
         xq, kernel_q, window_strides=tuple(strides),
-        padding=_canon_padding(conv, (kh, kw), dil),
+        padding=_canon_padding(conv),
         rhs_dilation=tuple(dil), dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
@@ -147,7 +149,10 @@ def quantized_apply(module: nn.Module, variables, qset: QuantSet,
 
     def interceptor(next_fun, iargs, ikwargs, context):
         m = context.module
-        if isinstance(m, nn.Conv) and context.method_name == "__call__":
+        if (isinstance(m, nn.Conv) and context.method_name == "__call__"
+                and m.feature_group_count == 1):
+            # grouped/depthwise convs are excluded: _quant_conv_call runs a
+            # dense lax conv and would silently mix channels across groups
             key = "/" + "/".join(str(p) for p in m.path)
             q = qset.get(key)
             if q is not None:
@@ -201,13 +206,22 @@ def calibrate_act_scales(module: nn.Module, variables, qset: QuantSet,
 
 
 def make_quantized_fusion_apply(dwi_model, dce_model, fusion_model,
-                                variables, calibration=None, **quant_kw):
+                                variables, calibration=None,
+                                calibration_mc=False, calibration_rng=None,
+                                **quant_kw):
     """Quantized mirror of train.fusion.make_fusion_apply's inference path.
 
     Pre-quantizes each submodel's conv kernels (separate QuantSets — the
     three models share module paths but not weights) and returns
     ``(apply_fn, qsets)`` where ``apply_fn(variables, dwi_x, dce_x)`` runs
     eval-mode int8 inference with the same return structure as the fp path.
+
+    ``calibration_mc=True`` runs the calibration forwards with MC-dropout
+    active (dropout rng from ``calibration_rng``): inverted-dropout scales
+    kept activations by 1/(1-p), so scales calibrated with dropout OFF clip
+    the top of the range when serving mc/tta_mc uncertainty inference.
+    Calibration data must match the SERVED input distribution (i.e. already
+    preprocessed volumes, not raw ones).
     """
     qsets = {
         "dwi": build_quant_set(variables["dwi"]["params"], **quant_kw),
@@ -216,16 +230,19 @@ def make_quantized_fusion_apply(dwi_model, dce_model, fusion_model,
     }
     if calibration is not None:
         dwi_x, dce_x = calibration
-        kw = dict(train=False)
+        rng = calibration_rng if calibration_rng is not None else (
+            jax.random.PRNGKey(0))
+        kw = dict(train=False, mc=calibration_mc,
+                  rngs={"dropout": rng} if calibration_mc else None)
         calibrate_act_scales(dwi_model, variables["dwi"], qsets["dwi"],
                              dwi_x, **kw)
         _, d_aux, d_mask = jax.jit(
-            lambda v, x: dwi_model.apply(v, x, train=False)
+            lambda v, x: dwi_model.apply(v, x, **kw)
         )(variables["dwi"], dwi_x)
         calibrate_act_scales(dce_model, variables["dce"], qsets["dce"],
                              dce_x, **kw)
         _, c_aux, c_mask = jax.jit(
-            lambda v, x: dce_model.apply(v, x, train=False)
+            lambda v, x: dce_model.apply(v, x, **kw)
         )(variables["dce"], dce_x)
         calibrate_act_scales(
             fusion_model, variables["fusion"], qsets["fusion"],

@@ -136,6 +136,10 @@ def test_fusion_model(
             dwi_model, dce_model, fusion_model, variables,
             calibration=(jnp.asarray(test_data["dwi"][:nc]),
                          jnp.asarray(test_data["dce"][:nc])),
+            # mc/tta_mc serving runs dropout hot; calibrate with it active
+            # so inverted-dropout scaling doesn't clip (ops/quant.py)
+            calibration_mc=cfg.test_mode in ("mc", "tta_mc"),
+            calibration_rng=jax.random.PRNGKey(seed + 1),
         )
         fwd_override = make_quantized_fusion_fwd(
             dwi_model, dce_model, fusion_model, qsets)

@@ -260,8 +260,12 @@ class NativeBatchLoader:
                 yield batch
             finally:
                 # slot buffers are recycled after release; consumers must
-                # have copied/uploaded by the next iteration step
-                self._lib.loader_release(self._h, slot.value)
+                # have copied/uploaded by the next iteration step.  Guard
+                # the handle: if close() ran while this generator was
+                # suspended (early break / error path), releasing into a
+                # destroyed loader would dereference NULL in C++.
+                if self._h:
+                    self._lib.loader_release(self._h, slot.value)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

@@ -233,7 +233,13 @@ struct Loader {
   }
 
   void join_workers() {
-    stop = true;
+    {
+      // must hold the mutex while setting stop: a worker between its
+      // wait-predicate check and blocking would otherwise miss the notify
+      // (lost wakeup) and join() would hang forever
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
     cv_free.notify_all();
     for (auto& th : workers)
       if (th.joinable()) th.join();

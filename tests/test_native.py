@@ -175,3 +175,39 @@ class TestNativeIterateBatches:
             n_valid += int(v.sum())
         assert sorted(seen) == list(range(n))
         assert n_valid == n
+
+    def test_early_break_and_close_is_safe(self):
+        """Regression: breaking out of iteration and closing the loader
+        must not release a slot into a destroyed loader (NULL deref)."""
+        from dmf_tpu.utils.native import NativeBatchLoader
+
+        if not NativeBatchLoader.available():
+            pytest.skip("native lib unavailable")
+        imgs = np.zeros((64, 4, 4, 1), np.float32)
+        ld = NativeBatchLoader({"imgs": imgs}, None, 8, shuffle=True, seed=0)
+        it = iter(ld)
+        next(it)
+        ld.close()          # destroy while the generator is suspended
+        del it              # generator finalizer must not touch the loader
+
+    def test_loader_reused_across_epochs_in_iterate_batches(self):
+        """The pipeline caches the native loader on the dataset and reseeds
+        it per epoch instead of rebuilding ring buffers + threads."""
+        from dmf_tpu.data.pipeline import ArrayDataset, iterate_batches
+        from dmf_tpu.utils.native import NativeBatchLoader
+
+        if not NativeBatchLoader.available():
+            pytest.skip("native lib unavailable")
+        imgs = np.zeros((20, 4, 4, 1), np.float32)
+        imgs[:, 0, 0, 0] = np.arange(20)
+        ds = ArrayDataset(imgs=imgs, labels=np.arange(20, dtype=np.int32))
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            ids = []
+            for b in iterate_batches(ds, 8, shuffle=True, rng=rng,
+                                     native=True):
+                v = np.asarray(b["valid"]).astype(bool)
+                ids.extend(np.asarray(b["imgs"])[v, 0, 0, 0].astype(int))
+            assert sorted(ids) == list(range(20))
+        assert hasattr(ds, "_native_loader")
+        ds._native_loader[1].close()
