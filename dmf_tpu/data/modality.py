@@ -44,6 +44,8 @@ class ModalityProcessor:
 
         self._train_fn = jax.jit(self._process_train)
         self._eval_fn = jax.jit(self._process_eval)
+        self._train_fn_adc = jax.jit(self._process_train_adc)
+        self._eval_fn_adc = jax.jit(self._process_eval_adc)
 
     # -- normalization ------------------------------------------------------
     def _normalize(self, imgs: jnp.ndarray) -> jnp.ndarray:
@@ -71,8 +73,25 @@ class ModalityProcessor:
         x = self._normalize(x)
         return self._append_adc(x)
 
-    def train_batch(self, rng, imgs) -> jnp.ndarray:
+    def _process_train_adc(self, rng, imgs, adc):
+        # per-sample (batch-aligned) ADC rows — the corrected
+        # reference_compat=False path; ADC stays un-augmented per the
+        # reference's pipeline order
+        x = augment_batch(rng, imgs, self.input_size)
+        x = self._normalize(x)
+        return append_adc(x, adc)
+
+    def _process_eval_adc(self, imgs, adc):
+        x = eval_resize(imgs, self.input_size)
+        x = self._normalize(x)
+        return append_adc(x, adc)
+
+    def train_batch(self, rng, imgs, adc=None) -> jnp.ndarray:
+        if adc is not None:
+            return self._train_fn_adc(rng, jnp.asarray(imgs), jnp.asarray(adc))
         return self._train_fn(rng, jnp.asarray(imgs))
 
-    def eval_batch(self, imgs) -> jnp.ndarray:
+    def eval_batch(self, imgs, adc=None) -> jnp.ndarray:
+        if adc is not None:
+            return self._eval_fn_adc(jnp.asarray(imgs), jnp.asarray(adc))
         return self._eval_fn(jnp.asarray(imgs))

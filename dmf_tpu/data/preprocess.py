@@ -331,9 +331,7 @@ def nyul_transform(
     standard_scale: jnp.ndarray,  # (L,)
 ) -> jnp.ndarray:
     """Jittable Nyúl transform for (..., H, W, C) images."""
-    lead = img.shape[:-1]
     C = img.shape[-1]
-    flat = img.reshape(-1, C) if len(lead) > 1 else img[None]
     if img.ndim == 3:  # (H, W, C) single image
         pix = img.reshape(-1, C)
         orig = jnp.percentile(pix, landmark_percents, axis=0).T  # (C, L)

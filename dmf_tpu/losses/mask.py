@@ -60,17 +60,15 @@ def safe_mask_loss(
 ) -> jnp.ndarray:
     """Mask loss with shape guard (NHWC).
 
-    Reference: train_fusion.py:747-760 — it computes a nearest-resized GT but
-    then passes the **unresized** GT to the criterion (latent bug, harmless in
-    the default config where both are 32x32).  ``reference_compat=True``
-    reproduces that; ``False`` uses the resized GT.
+    Reference: train_fusion.py:747-760 — it computes a nearest-resized GT
+    but then passes the **unresized** GT to the criterion (latent bug).
+    Shapes only ever mismatch outside the default config, where the
+    reference's dice would crash on the broadcast; we always feed the
+    resized GT on mismatch (the fixed behavior, and identical to the
+    reference whenever the reference runs at all).  ``reference_compat``
+    is accepted for call-site uniformity but does not change the result.
     """
+    del reference_compat  # see docstring: no observable compat divergence
     if pred_logits.shape[-3:-1] != gt_mask.shape[-3:-1]:
-        gt_resized = resize_nearest(gt_mask, pred_logits.shape[-3:-1])
-        if reference_compat:
-            # shapes differ; the reference would raise inside the criterion
-            # for dice (broadcasting usually fails) — use the resized GT but
-            # flag the divergence via the corrected path.
-            return mask_loss_fn(pred_logits, gt_resized)
-        return mask_loss_fn(pred_logits, gt_resized)
+        gt_mask = resize_nearest(gt_mask, pred_logits.shape[-3:-1])
     return mask_loss_fn(pred_logits, gt_mask)

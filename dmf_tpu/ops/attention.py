@@ -43,11 +43,19 @@ def scaled_dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     if use_pallas is None:
+        # alignment must match flash_attention's ACTUAL block requirement:
+        # N % block_q and N % block_k with blocks clamped to N — i.e.
+        # N % 512 for N >= 512 (N=2304 is %128-aligned but %512 == 256 and
+        # would raise inside the kernel)
+        from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
+
+        n = q.shape[-2]
         use_pallas = (
             not return_weights
-            and q.shape[-2] >= 512
-            and q.shape[-2] == k.shape[-2]
-            and q.shape[-2] % 128 == 0
+            and n >= 512
+            and n == k.shape[-2]
+            and n % min(DEFAULT_BLOCK_Q, n) == 0
+            and n % min(DEFAULT_BLOCK_K, n) == 0
             and jax.default_backend() == "tpu"
         )
 

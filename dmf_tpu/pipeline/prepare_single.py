@@ -100,17 +100,27 @@ def prepare_single_data(
     labels, test_labels = raw["labels"], raw["test_labels"]
     mc = cfg.model_config(method)
 
+    tr, va = train_val_indices(labels, cfg.segnum, cfg.class_num, fold,
+                               cfg.seed)
+
     # modality-specific raw prep (prepare_single_model.py:311-343)
     adc_maps = [None, None, None]
+    adc_splits: List[Optional[np.ndarray]] = [None, None, None]
     nyul = None
     if method == "dwi" and cfg.dwi_add_adc_map:
-        tr_idx, _ = train_val_indices(labels, cfg.segnum, cfg.class_num, fold,
-                                      cfg.seed)
         adc_maps = prep_dwi_adc_maps(
             imgs, test_imgs, cfg.dwi_bvals_to_use, cfg.reference_compat
         )
-        # note: compat mode computes maps from raw samples 0/1/test0 *before*
-        # splitting, exactly like prepare_single_model.py:319-326
+        # compat mode computes ONE map per split from raw samples 0/1/test0
+        # *before* splitting, exactly like prepare_single_model.py:319-326;
+        # the corrected path returns per-sample map stacks which must travel
+        # with their samples through shuffled batches — slice them into the
+        # splits and feed them per-batch instead of via the processor
+        if not cfg.reference_compat:
+            all_train = np.asarray(adc_maps[0])
+            adc_splits = [all_train[tr], all_train[va],
+                          np.asarray(adc_maps[2])]
+            adc_maps = [None, None, None]
     elif method == "dce":
         imgs = np.asarray(dce_global_max_normalize(jnp.asarray(imgs)))
         test_imgs = np.asarray(dce_global_max_normalize(jnp.asarray(test_imgs)))
@@ -122,18 +132,15 @@ def prepare_single_data(
         target = tuple(mc.mask.mask_target_size)
         if masks.shape[1:3] != target:
             masks = np.asarray(resize_nearest(jnp.asarray(masks), target))
-        tr, va = train_val_indices(labels, cfg.segnum, cfg.class_num, fold,
-                                   cfg.seed)
         mask_splits = [masks[tr], masks[va], None]  # test masks don't exist
-    else:
-        tr, va = train_val_indices(labels, cfg.segnum, cfg.class_num, fold,
-                                   cfg.seed)
 
     splits = {
         "train": {"imgs": imgs[tr], "masks": mask_splits[0],
-                  "labels": labels[tr]},
-        "val": {"imgs": imgs[va], "masks": mask_splits[1], "labels": labels[va]},
-        "test": {"imgs": test_imgs, "masks": None, "labels": test_labels},
+                  "labels": labels[tr], "adc": adc_splits[0]},
+        "val": {"imgs": imgs[va], "masks": mask_splits[1],
+                "labels": labels[va], "adc": adc_splits[1]},
+        "test": {"imgs": test_imgs, "masks": None, "labels": test_labels,
+                 "adc": adc_splits[2]},
     }
 
     # Nyul fit on the raw (max-normalized) train split
@@ -243,12 +250,11 @@ def export_processed_splits(
     out = {}
     for split, arrays in data.splits.items():
         proc = data.processors_by_split[split]
+        adc = arrays.get("adc")
         if split == "train" and cfg.reference_compat:
-            imgs = np.asarray(proc.train_batch(key, arrays["imgs"]))
-        elif split == "train":
-            imgs = np.asarray(proc.eval_batch(arrays["imgs"]))
+            imgs = np.asarray(proc.train_batch(key, arrays["imgs"], adc=adc))
         else:
-            imgs = np.asarray(proc.eval_batch(arrays["imgs"]))
+            imgs = np.asarray(proc.eval_batch(arrays["imgs"], adc=adc))
         path = os.path.join(
             cfg.base_path, "processed",
             f"{data.method}{data.fold}{split}data",

@@ -49,7 +49,7 @@ def test_single_model(
     predictor = make_single_predictor(cfg, model)
     proc = data.processors_by_split["test"]
     test = data.splits["test"]
-    imgs = np.asarray(proc.eval_batch(test["imgs"]))
+    imgs = np.asarray(proc.eval_batch(test["imgs"], adc=test.get("adc")))
     ds = ArrayDataset(imgs=imgs, labels=test["labels"])
 
     rng = jax.random.PRNGKey(seed)

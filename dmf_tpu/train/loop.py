@@ -24,7 +24,13 @@ from ..losses import get_classification_loss_fn, get_mask_loss_fn
 from ..utils.checkpoint import BestCheckpointer
 from ..utils.logging import MetricLogger
 from .optim import build_group_spec
-from .schedule import EarlyStopping, ReduceLROnPlateau, aux_loss_weight, make_scheduler
+from .schedule import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    WarmupCosine,
+    aux_loss_weight,
+    make_scheduler,
+)
 from .single import make_single_eval_step, make_single_train_step
 from .state import TrainState
 
@@ -110,10 +116,12 @@ def fit_single(
 
     train_ds = ArrayDataset(
         imgs=train_data["imgs"], masks=train_data.get("masks"),
-        labels=train_data["labels"],
+        labels=train_data["labels"], adc=train_data.get("adc"),
     )
+    global_step = 0
     # eval inputs are deterministic: process once, reuse every epoch
-    val_imgs = np.asarray(processor.eval_batch(val_data["imgs"]))
+    val_imgs = np.asarray(processor.eval_batch(val_data["imgs"],
+                                               adc=val_data.get("adc")))
     val_ds = ArrayDataset(
         imgs=val_imgs, masks=val_data.get("masks"), labels=val_data["labels"]
     )
@@ -132,20 +140,35 @@ def fit_single(
         )
 
         # ---- train ----
+        # NOTE on tail batches: iterate_batches pads the short tail by
+        # cycling its samples to keep shapes static.  The padded batch's
+        # mean loss/BN statistics equal the mean over the unique tail
+        # samples, and each batch contributes one mean-gradient optimizer
+        # step — exactly the reference's short-batch semantics
+        # (DataLoader drop_last=False + loss means).
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(
             train_ds, cfg.batch_size, shuffle=True, rng=np_rng,
             native=cfg.use_native_loader,
         ):
+            if isinstance(scheduler, WarmupCosine):
+                # the reference registers this scheduler with
+                # interval='step' (selector_helpers.py:319-330)
+                controller.lr_scale = scheduler.step_scale(global_step)
+                hp = controller.hyperparams()
+            global_step += 1
             rng, aug_key, drop_key = jax.random.split(rng, 3)
             proc = {
-                "imgs": processor.train_batch(aug_key, batch["imgs"]),
+                "imgs": processor.train_batch(aug_key, batch["imgs"],
+                                              adc=batch.get("adc")),
                 "labels": batch["labels"].astype(jnp.int32),
                 "aux_w": jnp.asarray(aux_w, jnp.float32),
             }
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
             state, metrics = train_step(state, proc, drop_key, hp)
+            # one transfer per step (per-metric float() would block 8x)
+            metrics = jax.device_get(metrics)
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v))
 
@@ -179,7 +202,7 @@ def fit_single(
             monitored = epoch_metrics.get(mc.scheduler.monitor,
                                           epoch_metrics["val_loss"])
             controller.lr_scale = scheduler.step(monitored)
-        else:
+        elif not isinstance(scheduler, WarmupCosine):  # stepped per-step above
             controller.lr_scale = scheduler.step_scale(epoch)
 
         # ---- periodic mask visualization (train.py:706-714, every 10 ep) ----
@@ -305,6 +328,7 @@ def fit_fusion(
     np_rng = np.random.RandomState(seed)
     history = []
     best_state = None
+    global_step = 0
 
     for epoch in range(num_epochs):
         t0 = time.time()
@@ -319,6 +343,11 @@ def fit_fusion(
         for batch in iterate_batches(train_ds, cfg.batch_size, shuffle=True,
                                      rng=np_rng,
                                      native=cfg.use_native_loader):
+            if isinstance(scheduler, WarmupCosine):
+                # reference interval='step' (selector_helpers.py:319-330)
+                controller.lr_scale = scheduler.step_scale(global_step)
+                hp = controller.hyperparams()
+            global_step += 1
             rng, drop_key = jax.random.split(rng)
             proc = {
                 "dwi": batch["dwi"], "dce": batch["dce"],
@@ -328,6 +357,7 @@ def fit_fusion(
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
             state, metrics = train_step(state, proc, drop_key, hp)
+            metrics = jax.device_get(metrics)  # one transfer per step
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v))
         epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
@@ -359,7 +389,7 @@ def fit_fusion(
 
         if isinstance(scheduler, ReduceLROnPlateau):
             controller.lr_scale = scheduler.step(epoch_metrics["val_loss"])
-        else:
+        elif not isinstance(scheduler, WarmupCosine):  # stepped per-step above
             controller.lr_scale = scheduler.step_scale(epoch)
 
         if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):

@@ -119,9 +119,19 @@ def discriminative_hparams(
 # ---------------------------------------------------------------------------
 
 
+# per-group step-count capacity: groups are identified by small static ids;
+# 64 comfortably exceeds any real group structure here (single model: 3,
+# fusion: ~7)
+MAX_GROUPS = 64
+
+
 class AdamWState(NamedTuple):
     mu: Any
     nu: Any
+    # (MAX_GROUPS,) per-group step counts.  torch's unfreeze flow ADDS a
+    # fresh param group whose Adam state starts at step=1; a single global
+    # count would bias-correct a just-unfrozen group as if it had been
+    # training all along (first update ~1/sqrt(1-b2) ~ 3.2x too large).
     count: jnp.ndarray
 
 
@@ -137,7 +147,7 @@ class GroupedHyperParams(NamedTuple):
 def adamw_init(params) -> AdamWState:
     zeros = jax.tree.map(jnp.zeros_like, params)
     return AdamWState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
-                      count=jnp.zeros((), jnp.int32))
+                      count=jnp.zeros((MAX_GROUPS,), jnp.int32))
 
 
 def adamw_update(
@@ -153,19 +163,26 @@ def adamw_update(
     """One AdamW step with per-leaf (group-indexed) lr/wd/trainable.
 
     Matches torch.optim.AdamW semantics: decoupled weight decay
-    ``p -= lr * (mhat/(sqrt(vhat)+eps) + wd * p)``.
+    ``p -= lr * (mhat/(sqrt(vhat)+eps) + wd * p)``, and per-GROUP step
+    counts that only advance while the group is trainable — a group
+    unfrozen at epoch 40 bias-corrects from step 1 exactly like the
+    reference's freshly-added torch param group
+    (selector_helpers.py:207-217, 588-613).
     Excluded leaves (gid=-1) and frozen groups receive exactly zero update
     and keep zero moments.
     """
-    count = state.count + 1
-    c = count.astype(jnp.float32)
-    bc1 = 1.0 - b1**c
-    bc2 = 1.0 - b2**c
+    G = hp.trainable.shape[0]
+    count = state.count.at[:G].add(hp.trainable.astype(jnp.int32))
 
     def leaf_update(g, m, v, p, gid):
         if gid < 0:
             return p, m, v
         scale = hp.trainable[gid]
+        # guard: frozen groups have count 0 -> bc terms would be 0/0; their
+        # update is zeroed by `scale` but NaNs would still propagate
+        c = jnp.maximum(count[gid], 1).astype(jnp.float32)
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
         g = g.astype(jnp.float32) * scale
         m2 = b1 * m + (1 - b1) * g
         v2 = b2 * v + (1 - b2) * g * g

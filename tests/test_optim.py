@@ -179,3 +179,55 @@ class TestSchedulers:
         assert abs(aux_loss_weight(100, 200) - 0.5) < 1e-12
         assert aux_loss_weight(300, 200) == 0.0
         assert aux_loss_weight(300, 200, enabled=False) == 1.0
+
+
+class TestPerGroupBiasCorrection:
+    def test_unfrozen_group_matches_fresh_torch_param_group(self, rng):
+        """A group unfrozen mid-training must bias-correct from step 1,
+        exactly like the reference's freshly-added torch param group
+        (selector_helpers.py:207-217): a global step count would make the
+        first update ~1/sqrt(1-b2) ~ 3.2x too large."""
+        w0 = rng.randn(6, 3).astype(np.float32)
+        w1 = rng.randn(6, 3).astype(np.float32)
+        params = {"a": {"kernel": jnp.asarray(w0)},
+                  "b": {"kernel": jnp.asarray(w1)}}
+        spec = GroupSpec(group_ids={"a": {"kernel": 0}, "b": {"kernel": 1}},
+                         num_groups=2, names=("g0", "g1"))
+        state = adamw_init(params)
+
+        t0 = torch.nn.Parameter(torch.tensor(w0))
+        t1 = torch.nn.Parameter(torch.tensor(w1))
+        topt = torch.optim.AdamW([t0], lr=1e-3, betas=(0.9, 0.999),
+                                 eps=1e-8, weight_decay=1e-2)
+
+        frozen = GroupedHyperParams(lr=jnp.asarray([1e-3, 1e-3]),
+                                    wd=jnp.asarray([1e-2, 1e-2]),
+                                    trainable=jnp.asarray([1.0, 0.0]))
+        for step in range(10):
+            g0 = rng.randn(6, 3).astype(np.float32)
+            grads = {"a": {"kernel": jnp.asarray(g0)},
+                     "b": {"kernel": jnp.zeros_like(jnp.asarray(w1))}}
+            params, state = adamw_update(grads, state, params, spec, frozen)
+            t0.grad = torch.tensor(g0)
+            topt.step()
+
+        # unfreeze: torch adds a fresh param group
+        topt.add_param_group({"params": [t1], "lr": 1e-3,
+                              "weight_decay": 1e-2})
+        live = GroupedHyperParams(lr=jnp.asarray([1e-3, 1e-3]),
+                                  wd=jnp.asarray([1e-2, 1e-2]),
+                                  trainable=jnp.asarray([1.0, 1.0]))
+        for step in range(3):
+            g0 = rng.randn(6, 3).astype(np.float32)
+            g1 = rng.randn(6, 3).astype(np.float32)
+            grads = {"a": {"kernel": jnp.asarray(g0)},
+                     "b": {"kernel": jnp.asarray(g1)}}
+            params, state = adamw_update(grads, state, params, spec, live)
+            t0.grad = torch.tensor(g0)
+            t1.grad = torch.tensor(g1)
+            topt.step()
+
+        np.testing.assert_allclose(np.asarray(params["a"]["kernel"]),
+                                   t0.detach().numpy(), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(params["b"]["kernel"]),
+                                   t1.detach().numpy(), atol=2e-6)

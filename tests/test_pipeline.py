@@ -203,3 +203,30 @@ class TestInt8ServingPath:
         assert set(q["metrics"]) == set(fp["metrics"])
         # untrained nets, random data: probabilities should still be close
         assert np.abs(q["probs"] - fp["probs"]).max() < 0.1
+
+
+class TestNoCompatADC:
+    def test_per_sample_adc_path(self, tiny_cfg):
+        """reference_compat=False: per-sample ADC maps travel with their
+        samples through the splits (regression: the val split used to get
+        no map and train an unsliced full-dataset stack)."""
+        from dmf_tpu.pipeline.prepare_single import prepare_single_data
+
+        cfg = tiny_cfg.replace(reference_compat=False)
+        data = prepare_single_data(cfg, "dwi", fold=0)
+        for split in ("train", "val", "test"):
+            arrays = data.splits[split]
+            adc = arrays.get("adc")
+            assert adc is not None, split
+            assert len(adc) == len(arrays["imgs"]), split
+            assert adc.shape[-1] == 1
+        # the processor consumes per-batch maps and emits 14-channel output
+        import jax
+
+        proc = data.processors_by_split["train"]
+        tr = data.splits["train"]
+        out = proc.train_batch(jax.random.PRNGKey(0), tr["imgs"][:4],
+                               adc=tr["adc"][:4])
+        assert out.shape[-1] == tiny_cfg.dwi_channel_num
+        ev = proc.eval_batch(tr["imgs"][:4], adc=tr["adc"][:4])
+        assert ev.shape[-1] == tiny_cfg.dwi_channel_num
