@@ -40,10 +40,21 @@ def batch_indices(
     rng: Optional[np.random.RandomState] = None,
     drop_last: bool = False,
     pad_to_batch: bool = False,
+    pad_to_multiple: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Yield index arrays per batch. ``pad_to_batch`` repeats the tail so
-    every batch has a static shape (required to avoid XLA recompiles); a
-    ``valid`` mask should be derived by the caller when padding."""
+    """Yield index arrays per batch.
+
+    Tail handling (one short batch when ``n % batch_size != 0``):
+    * ``pad_to_batch`` repeats (cycles) the tail to the full batch size so
+      every batch has one static shape; a ``valid`` mask should be derived
+      by the caller when padding.
+    * ``pad_to_multiple=m`` (with ``pad_to_batch=False``) pads the tail only
+      up to the next multiple of ``m`` — the minimal padding that keeps a
+      batch divisible over an m-way data-parallel mesh axis.
+    * neither: the tail is yielded exactly (the reference's
+      ``DataLoader(drop_last=False)`` short batch) — one extra XLA compile
+      at the tail shape, exact loss/BN semantics.
+    """
     order = np.arange(n)
     if shuffle:
         (rng or np.random).shuffle(order)
@@ -53,8 +64,11 @@ def batch_indices(
             if drop_last:
                 return
             if pad_to_batch:
-                pad = np.resize(idx, batch_size)
-                yield pad
+                yield np.resize(idx, batch_size)
+                return
+            if pad_to_multiple > 1 and len(idx) % pad_to_multiple:
+                target = -(-len(idx) // pad_to_multiple) * pad_to_multiple
+                yield np.resize(idx, target)
                 return
         yield idx
 
@@ -91,20 +105,23 @@ def iterate_batches(
     rng: Optional[np.random.RandomState] = None,
     drop_last: bool = False,
     pad_to_batch: bool = True,
+    pad_to_multiple: int = 0,
     prefetch: int = 2,
     sharding=None,
     native: bool = False,
 ) -> Iterator[Dict[str, jax.Array]]:
-    """Batch iterator with static shapes, a validity mask and device prefetch.
+    """Batch iterator with a validity mask and device prefetch.
 
-    ``native=True`` routes batch assembly through the C++ prefetch loader
+    Tail semantics follow :func:`batch_indices`; every batch carries a
+    ``valid`` float mask marking duplicated (padded) rows 0.  ``native=True``
+    routes batch assembly through the C++ prefetch loader
     (utils/native.py::NativeBatchLoader — threaded gather into a ring of
     slots, the reference's num_workers=11 DataLoader analogue); falls back
     to the Python path when the library is unavailable.
     """
     if native:
         it = _native_host_batches(dataset, batch_size, shuffle, rng,
-                                  drop_last, pad_to_batch)
+                                  drop_last, pad_to_batch, pad_to_multiple)
         if it is not None:
             yield from prefetch_to_device(it, size=prefetch,
                                           sharding=sharding)
@@ -112,7 +129,8 @@ def iterate_batches(
 
     def host_batches():
         for idx in batch_indices(
-            len(dataset), batch_size, shuffle, rng, drop_last, pad_to_batch
+            len(dataset), batch_size, shuffle, rng, drop_last, pad_to_batch,
+            pad_to_multiple,
         ):
             batch = {k: v[idx] for k, v in dataset.arrays.items()}
             valid = np.zeros(len(idx), np.float32)
@@ -129,7 +147,7 @@ def iterate_batches(
 
 
 def _native_host_batches(dataset, batch_size, shuffle, rng, drop_last,
-                         pad_to_batch):
+                         pad_to_batch, pad_to_multiple=0):
     """C++ prefetch-loader host iterator matching iterate_batches' contract
     (static shapes via tail padding + valid mask), or None if unavailable.
 
@@ -164,23 +182,29 @@ def _native_host_batches(dataset, batch_size, shuffle, rng, drop_last,
     def gen():
         for batch in loader:
             size = len(next(iter(batch.values())))
-            valid = np.ones(batch_size, np.float32)
             if size < batch_size:
                 if pad_to_batch:
+                    target = batch_size
+                elif pad_to_multiple > 1 and size % pad_to_multiple:
+                    target = -(-size // pad_to_multiple) * pad_to_multiple
+                else:
+                    target = size
+                valid = np.ones(target, np.float32)
+                if target > size:
                     # repeat tail rows for static shapes; mark invalid
                     # (np.resize copies, so the slot view is not retained)
                     batch = {
-                        k: np.resize(v, (batch_size,) + v.shape[1:])
+                        k: np.resize(v, (target,) + v.shape[1:])
                         for k, v in batch.items()
                     }
                     valid[size:] = 0.0
                 else:
-                    valid = valid[:size]
                     batch = {k: np.array(v) for k, v in batch.items()}
             else:
                 # slot buffers are recycled on release: copy now (the
                 # prefetcher device_puts immediately, but keep the host
                 # contract safe for any consumer)
+                valid = np.ones(batch_size, np.float32)
                 batch = {k: np.array(v) for k, v in batch.items()}
             batch["valid"] = valid
             yield batch

@@ -104,7 +104,7 @@ def make_spmd_step(step_fn: Callable, mesh: Mesh, state_sh, donate: bool = True)
 
     jitted = jax.jit(
         step_fn,
-        in_shardings=(state_sh, None, rep, None),
+        in_shardings=(state_sh, None, rep, rep),
         out_shardings=(state_sh, None),
         donate_argnums=(0,) if donate else (),
     )

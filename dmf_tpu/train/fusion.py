@@ -38,6 +38,7 @@ from .optim import (
     GroupedHyperParams,
     adamw_update,
     build_group_spec,
+    count_nonfinite,
     global_norm,
 )
 from .state import TrainState
@@ -222,6 +223,7 @@ def make_fusion_train_step(
         metrics["dwi_grad_norm"] = global_norm(grads["dwi"])
         metrics["dce_grad_norm"] = global_norm(grads["dce"])
         metrics["fusion_grad_norm"] = global_norm(grads["fusion"])
+        metrics["grad_nonfinite"] = count_nonfinite(grads)
         new_params, new_opt = adamw_update(
             grads, state.opt_state, state.params, spec, hp,
             b1=opt.betas[0], b2=opt.betas[1], eps=opt.eps,

@@ -57,6 +57,52 @@ def init_single_state(cfg: Config, model, sample_batch, seed: int = 0) -> TrainS
     return TrainState.create(variables)
 
 
+def _setup_spmd(cfg: Config, state: TrainState, raw_step, mesh):
+    """Shard the TrainState and wrap an (unjitted) train step as an SPMD
+    program over ``mesh``; identity when ``mesh`` is None.
+
+    Returns ``(state, step, batch_sharding, n_data)``.  Batches are placed
+    directly into their data-axis sharding so XLA GSPMD inserts the gradient
+    all-reduce (and the TP collectives) — the scaling design of SURVEY §2.10.
+    """
+    if mesh is None:
+        return state, raw_step, None, 1
+    from ..parallel import (
+        batch_sharding,
+        make_spmd_step,
+        shard_state,
+        state_shardings,
+    )
+
+    n_data = int(mesh.shape[cfg.parallel.data_axis])
+    if cfg.batch_size % n_data:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must divide over the "
+            f"{n_data}-way data axis"
+        )
+    state_sh = state_shardings(state, mesh)
+    state = shard_state(state, mesh)
+    jitted, place = make_spmd_step(
+        raw_step, mesh, state_sh, donate=cfg.parallel.donate_train_state
+    )
+
+    def step(state, batch, rng, hp):
+        return jitted(state, place(batch), rng, hp)
+
+    return state, step, batch_sharding(mesh), n_data
+
+
+def _warn_nonfinite(metrics: Dict[str, float], epoch: int, step: int) -> None:
+    """Host-side NaN/Inf-gradient warning (train.py:229-233 equivalent)."""
+    n = metrics.get("grad_nonfinite", 0)
+    if n and n > 0:
+        print(
+            f"[dmf_tpu] WARNING: {int(n)} non-finite gradient entries at "
+            f"epoch {epoch} step {step} (grad_norm="
+            f"{metrics.get('grad_norm', float('nan')):.3e})"
+        )
+
+
 def fit_single(
     cfg: Config,
     method: str,
@@ -74,6 +120,7 @@ def fit_single(
     log_every: int = 1,
     viz_every: int = 10,
     resume_from: Optional[str] = None,
+    mesh=None,
 ) -> FitResult:
     """Train one encoder; returns final + best states and epoch history.
 
@@ -81,6 +128,10 @@ def fit_single(
     optional ``masks`` (already mask_target_size), ``labels``.
     ``resume_from``: path of a saved state (msgpack) to restore before
     training (the reference's load_pretrained path, run.py:136-151).
+    ``mesh``: a ``jax.sharding.Mesh`` — when given, the TrainState is sharded
+    per the TP rules, batches ride the data axis, and the compiled step runs
+    SPMD with XLA-inserted collectives (the reference is single-device;
+    this is the v5e-8 scaling path, SURVEY.md §2.10).
     """
     mc = cfg.model_config(method)
     num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
@@ -95,7 +146,8 @@ def fit_single(
         state.params, mc.use_backbone, cfg.reference_compat
     )
     train_step = make_single_train_step(
-        cfg, method, model, clf_loss_fn, mask_loss_fn, spec
+        cfg, method, model, clf_loss_fn, mask_loss_fn, spec,
+        jit_compile=(mesh is None),
     )
     eval_step = make_single_eval_step(cfg, method, model, clf_loss_fn, mask_loss_fn)
 
@@ -112,7 +164,9 @@ def fit_single(
         from ..utils.checkpoint import restore_pytree
 
         state = restore_pytree(resume_from, jax.device_get(state))
-        state = jax.device_put(state)
+        if mesh is None:
+            state = jax.device_put(state)
+    state, train_step, batch_sh, n_data = _setup_spmd(cfg, state, train_step, mesh)
 
     train_ds = ArrayDataset(
         imgs=train_data["imgs"], masks=train_data.get("masks"),
@@ -140,16 +194,18 @@ def fit_single(
         )
 
         # ---- train ----
-        # NOTE on tail batches: iterate_batches pads the short tail by
-        # cycling its samples to keep shapes static.  The padded batch's
-        # mean loss/BN statistics equal the mean over the unique tail
-        # samples, and each batch contributes one mean-gradient optimizer
-        # step — exactly the reference's short-batch semantics
-        # (DataLoader drop_last=False + loss means).
+        # Tail batches run at their exact short size (one extra XLA compile,
+        # shape stable across epochs) — the reference's DataLoader
+        # drop_last=False semantics: the short batch's loss mean and BN
+        # statistics cover each tail sample exactly once.  Under a mesh the
+        # tail is padded only to the next multiple of the data axis; the
+        # duplicated rows (< n_data) slightly re-weight that one batch's
+        # loss/BN (metrics still exclude them via the valid mask).
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(
             train_ds, cfg.batch_size, shuffle=True, rng=np_rng,
             native=cfg.use_native_loader,
+            pad_to_batch=False, pad_to_multiple=n_data, sharding=batch_sh,
         ):
             if isinstance(scheduler, WarmupCosine):
                 # the reference registers this scheduler with
@@ -169,15 +225,20 @@ def fit_single(
             state, metrics = train_step(state, proc, drop_key, hp)
             # one transfer per step (per-metric float() would block 8x)
             metrics = jax.device_get(metrics)
+            _warn_nonfinite(metrics, epoch, global_step)
+            # weight by the number of unique samples so per-epoch means are
+            # per-sample means (duplicated pad rows excluded like the val path)
+            w = float(np.asarray(jax.device_get(batch["valid"])).sum())
             for k, v in metrics.items():
-                train_meters.setdefault(k, MeanMetric()).update(float(v))
+                train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
 
         epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
 
         # ---- validation ----
         val_meters: Dict[str, MeanMetric] = {}
         all_probs, all_labels = [], []
-        for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False):
+        for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False,
+                                     sharding=batch_sh):
             proc = {"imgs": batch["imgs"], "labels": batch["labels"].astype(jnp.int32)}
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
@@ -215,14 +276,12 @@ def fit_single(
             try:
                 from ..utils.visualize import visualize_mask_triplet
 
-                sample = {"imgs": val_imgs[:1],
-                          "labels": val_data["labels"][:1]}
-                _, _, _ = eval_step(state, {
-                    "imgs": jnp.asarray(sample["imgs"]),
-                    "labels": jnp.asarray(sample["labels"], jnp.int32),
-                })
+                # with a mesh, gather the variables once — a 1-sample eager
+                # forward across sharded params would bounce collectives
+                viz_vars = (jax.device_get(state.variables)
+                            if mesh is not None else state.variables)
                 _, _, mask_pred = model.apply(
-                    state.variables, jnp.asarray(val_imgs[:1]), train=False
+                    viz_vars, jnp.asarray(val_imgs[:1]), train=False
                 )
                 visualize_mask_triplet(
                     val_imgs[0], val_data["masks"][0],
@@ -272,13 +331,18 @@ def fit_fusion(
     min_epochs: Optional[int] = None,
     seed: int = 0,
     log_every: int = 1,
+    viz_every: int = 10,
+    mesh=None,
 ) -> FitResult:
     """Fusion training epoch loop (run_training.py:181-263 equivalent).
 
     ``train_data``/``val_data``: dicts with **processed** ``dwi`` and ``dce``
     image stacks (the reference trains fusion from cached post-transform
     tensors, prepare_single_model.py:154-174), optional ``masks``, and
-    ``labels``.
+    ``labels``.  ``mesh`` enables the SPMD path (see :func:`fit_single`).
+    Mask triptychs render every ``viz_every`` epochs from the fused mask head
+    (the single-stage hook at train.py:706-714, which the reference never
+    wired for fusion).
     """
     from ..losses import get_mask_loss_fn as _get_mask
     from .fusion import (
@@ -300,11 +364,13 @@ def fit_fusion(
     spec = build_fusion_group_spec(state.params, cfg)
     controller = FusionOptController(cfg)
     train_step = make_fusion_train_step(
-        cfg, dwi_model, dce_model, fusion_model, clf_loss_fn, mask_loss_fn, spec
+        cfg, dwi_model, dce_model, fusion_model, clf_loss_fn, mask_loss_fn,
+        spec, jit_compile=(mesh is None),
     )
     eval_step = make_fusion_eval_step(
         cfg, dwi_model, dce_model, fusion_model, clf_loss_fn, mask_loss_fn
     )
+    state, train_step, batch_sh, n_data = _setup_spmd(cfg, state, train_step, mesh)
 
     scheduler = make_scheduler(fp.scheduler, fp.optimizer.lr)
     early = EarlyStopping(
@@ -342,7 +408,10 @@ def fit_fusion(
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(train_ds, cfg.batch_size, shuffle=True,
                                      rng=np_rng,
-                                     native=cfg.use_native_loader):
+                                     native=cfg.use_native_loader,
+                                     pad_to_batch=False,
+                                     pad_to_multiple=n_data,
+                                     sharding=batch_sh):
             if isinstance(scheduler, WarmupCosine):
                 # reference interval='step' (selector_helpers.py:319-330)
                 controller.lr_scale = scheduler.step_scale(global_step)
@@ -358,13 +427,16 @@ def fit_fusion(
                 proc["masks"] = batch["masks"]
             state, metrics = train_step(state, proc, drop_key, hp)
             metrics = jax.device_get(metrics)  # one transfer per step
+            _warn_nonfinite(metrics, epoch, global_step)
+            w = float(np.asarray(jax.device_get(batch["valid"])).sum())
             for k, v in metrics.items():
-                train_meters.setdefault(k, MeanMetric()).update(float(v))
+                train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
         epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
 
         val_meters: Dict[str, MeanMetric] = {}
         all_probs, all_labels = [], []
-        for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False):
+        for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False,
+                                     sharding=batch_sh):
             proc = {
                 "dwi": batch["dwi"], "dce": batch["dce"],
                 "labels": batch["labels"].astype(jnp.int32),
@@ -392,8 +464,45 @@ def fit_fusion(
         elif not isinstance(scheduler, WarmupCosine):  # stepped per-step above
             controller.lr_scale = scheduler.step_scale(epoch)
 
+        # ---- periodic fused-mask visualization (the train.py:706-714 hook
+        # the reference leaves single-model-only; rendered here from the
+        # fused mask head every viz_every epochs) ----
+        if (
+            viz_every
+            and cfg.fusion_model.mask.enabled
+            and epoch % viz_every == 0
+            and val_data.get("masks") is not None
+        ):
+            try:
+                from ..utils.visualize import visualize_mask_triplet
+                from .fusion import make_fusion_apply
+
+                viz_apply = make_fusion_apply(dwi_model, dce_model, fusion_model)
+                host_state = jax.device_get(state)
+                variables = {
+                    m: {"params": host_state.params[m],
+                        "batch_stats": host_state.batch_stats[m]}
+                    for m in ("dwi", "dce", "fusion")
+                }
+                _, fused_mask, _, _, _ = viz_apply(
+                    variables, jnp.asarray(val_data["dwi"][:1]),
+                    jnp.asarray(val_data["dce"][:1]), train=False,
+                )
+                visualize_mask_triplet(
+                    val_data["dwi"][0], val_data["masks"][0],
+                    np.asarray(fused_mask[0]),
+                    f"{workdir}/viz/epoch_{epoch:04d}.png",
+                    title_prefix=f"Epoch {epoch}, fused mask: ",
+                )
+            except Exception:
+                pass
+
         if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):
             best_state = jax.device_get(state)
+        if viz_every and epoch % max(viz_every, 1) == 0:
+            from ..utils.checkpoint import save_pytree
+
+            save_pytree(f"{workdir}/checkpoints/last", jax.device_get(state))
         history.append(epoch_metrics)
         if epoch % log_every == 0:
             logger.log_epoch(epoch, epoch_metrics)

@@ -169,7 +169,8 @@ def adamw_update(
     reference's freshly-added torch param group
     (selector_helpers.py:207-217, 588-613).
     Excluded leaves (gid=-1) and frozen groups receive exactly zero update
-    and keep zero moments.
+    and keep their moments untouched (torch skips no-grad params entirely,
+    so a group frozen *after* training resumes with undecayed moments).
     """
     G = hp.trainable.shape[0]
     count = state.count.at[:G].add(hp.trainable.astype(jnp.int32))
@@ -184,8 +185,10 @@ def adamw_update(
         bc1 = 1.0 - b1**c
         bc2 = 1.0 - b2**c
         g = g.astype(jnp.float32) * scale
-        m2 = b1 * m + (1 - b1) * g
-        v2 = b2 * v + (1 - b2) * g * g
+        # frozen (scale==0): keep old moments, not b1*m/b2*v decay — torch
+        # never visits no-grad params, so their Adam state is untouched
+        m2 = jnp.where(scale > 0, b1 * m + (1 - b1) * g, m)
+        v2 = jnp.where(scale > 0, b2 * v + (1 - b2) * g * g, v)
         mhat = m2 / bc1
         vhat = v2 / bc2
         upd = mhat / (jnp.sqrt(vhat) + eps) + hp.wd[gid] * p.astype(jnp.float32)
@@ -219,6 +222,37 @@ def global_norm(tree) -> jnp.ndarray:
     leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
               for x in jax.tree_util.tree_leaves(tree)]
     return jnp.sqrt(sum(leaves)) if leaves else jnp.zeros(())
+
+
+def group_grad_norms(grads, spec: GroupSpec) -> Dict[str, jnp.ndarray]:
+    """Per-group gradient norms keyed by the spec's group names.
+
+    The reference logs a backbone-only grad norm alongside the global one
+    (train.py:825-862); group ids are static, so this adds no retracing and
+    reuses the squares XLA already computes for the global norm.
+    """
+    flat_g = jax.tree_util.tree_leaves(grads)
+    flat_ids = jax.tree_util.tree_leaves(spec.group_ids)
+    sq: Dict[int, jnp.ndarray] = {}
+    for g, gid in zip(flat_g, flat_ids):
+        gid = int(gid)
+        if gid < 0:
+            continue
+        s = jnp.sum(jnp.square(g.astype(jnp.float32)))
+        sq[gid] = sq.get(gid, jnp.zeros(())) + s
+    names = spec.names
+    return {
+        f"grad_norm_{names[gid] if gid < len(names) else gid}": jnp.sqrt(s)
+        for gid, s in sorted(sq.items())
+    }
+
+
+def count_nonfinite(tree) -> jnp.ndarray:
+    """Total count of non-finite gradient entries (the reference's
+    NaN-prone-grad warning path, train.py:229-233)."""
+    leaves = [jnp.sum(~jnp.isfinite(x.astype(jnp.float32)))
+              for x in jax.tree_util.tree_leaves(tree)]
+    return sum(leaves) if leaves else jnp.zeros((), jnp.int32)
 
 
 def clip_by_global_norm(grads, max_norm: float):

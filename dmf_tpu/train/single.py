@@ -34,7 +34,14 @@ from ..losses import (
     mimic_feat_loss,
     single_model_recon_loss,
 )
-from .optim import GroupSpec, GroupedHyperParams, adamw_update, global_norm
+from .optim import (
+    GroupSpec,
+    GroupedHyperParams,
+    adamw_update,
+    count_nonfinite,
+    global_norm,
+    group_grad_norms,
+)
 from .state import TrainState
 
 
@@ -161,6 +168,10 @@ def make_single_train_step(
             state.params, state.batch_stats, batch, rng
         )
         metrics["grad_norm"] = global_norm(grads)
+        # backbone-only (per-group) norms + NaN-grad counter, the
+        # reference's observability at train.py:825-862 and 229-233
+        metrics.update(group_grad_norms(grads, spec))
+        metrics["grad_nonfinite"] = count_nonfinite(grads)
         if use_clip:
             from .optim import clip_by_global_norm
 

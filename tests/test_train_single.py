@@ -36,6 +36,9 @@ def tiny_cfg():
         use_backbone=False,
         proj_dim=8,
         dropout=0.1,
+        # 10x the reference lr so the 3-epoch loss trend is signal, not
+        # dropout-rng noise (random labels train slowly at 1e-4)
+        optimizer=dataclasses.replace(cfg.dwi_model.optimizer, lr=1e-3),
     )
     return cfg.replace(dwi_model=mc)
 
