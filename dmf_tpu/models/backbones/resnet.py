@@ -22,9 +22,13 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+        # torch-semantics BN (unbiased running-var update) so fine-tuning an
+        # imported checkpoint accumulates the same stats torch would
+        from ..layers import TorchBatchNorm
+
+        return TorchBatchNorm(
+            use_running_average=not train, dtype=self.dtype,
+            name="BatchNorm_0",
         )(x)
 
 

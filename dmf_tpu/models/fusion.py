@@ -87,7 +87,7 @@ class CrossAttentionBlock(nn.Module):
         # torch returns head-averaged weights by default
         weights = weights.mean(axis=1)
 
-        ffn = nn.LayerNorm(dtype=self.dtype)(out)
+        ffn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(out)
         ffn = nn.Dense(C, dtype=self.dtype, kernel_init=linear_kernel_init)(ffn)
         ffn = nn.gelu(ffn, approximate=False)
         ffn = nn.Dense(C, dtype=self.dtype, kernel_init=linear_kernel_init)(ffn)

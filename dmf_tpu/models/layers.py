@@ -29,6 +29,56 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's EXACT training semantics.
+
+    torch.nn.BatchNorm2d normalizes by the biased batch variance but updates
+    ``running_var`` with the UNBIASED estimate (Bessel-corrected); Flax's
+    ``nn.BatchNorm`` stores the biased one, so after training the stored var
+    is ~(n-1)/n of torch's — a silent eval-time divergence that compounds
+    against the AUC-parity north star.  Validated against torch in train
+    mode by tests/test_fullmodel_parity.py.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.1  # torch momentum convention (new-stat weight)
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((features,), jnp.float32),
+        )
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)  # biased: normalization
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-default hyperparams and reference init."""
 
@@ -36,12 +86,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train,
-            momentum=0.9,  # torch momentum 0.1
-            epsilon=1e-5,
             dtype=self.dtype,
             scale_init=bn_scale_init,
+            name="BatchNorm_0",
         )(x)
 
 
@@ -88,7 +137,8 @@ class MaskGuidedSpatialAttention(nn.Module):
             self.hidden_channels, (1, 1), use_bias=False, dtype=self.dtype,
             kernel_init=conv_kernel_init,
         )(mask_up)
-        a = nn.GroupNorm(num_groups=1, dtype=self.dtype)(a)
+        a = nn.GroupNorm(num_groups=1, epsilon=1e-5,  # torch GN default
+                         dtype=self.dtype)(a)
         a = nn.gelu(a, approximate=False)
         a = nn.Conv(1, (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init)(a)
         a = nn.sigmoid(a)

@@ -100,8 +100,8 @@ class TransformerBlock(nn.Module):
         attn = MultiHeadSelfAttention(self.embed_dim, self.heads,
                                       dtype=self.dtype, name="attn")
         mlp = MLP(self.embed_dim, dtype=self.dtype, name="mlp")
-        x = x + attn(nn.LayerNorm(dtype=self.dtype)(x), train, mc) * gamma1
-        x = x + mlp(nn.LayerNorm(dtype=self.dtype)(x), train, mc) * gamma2
+        x = x + attn(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x), train, mc) * gamma1
+        x = x + mlp(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x), train, mc) * gamma2
         return x
 
 
@@ -126,7 +126,7 @@ class TransformerStage(nn.Module):
                     name="patch_embed")(x)
         B, Hp, Wp, C = x.shape
         tokens = x.reshape(B, Hp * Wp, C)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(tokens)
         for i in range(self.depth):
             tokens = TransformerBlock(self.embed_dim, self.heads,
                                       dtype=self.dtype, name=f"block{i}")(
