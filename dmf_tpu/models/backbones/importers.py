@@ -112,12 +112,16 @@ def import_resnet50(
     in_channels: int,
     use_advanced_adapt: bool = True,
     deep_stem: bool = False,
+    min_tensors: int = 100,
 ) -> Tuple[dict, dict]:
     """Convert a timm-layout ResNet50 state_dict to (params, batch_stats)
     for ``ResNetFeatures``.  Applies first-conv channel adaptation.
 
     For RadImageNet checkpoints, call :func:`map_rasool_to_timm_keys` first
     (the reference chains them the same way, foundation_model.py:275-281).
+    Raises RuntimeError if fewer than ``min_tensors`` tensors were imported
+    — the reference's >=100-loaded-tensors sanity check on RadImageNet
+    weight loads (foundation_model.py:297-301).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
 
@@ -169,7 +173,24 @@ def import_resnet50(
                     break
             put(name, bp, bs)
 
+    n_loaded = sum(
+        1 for tree in (params, stats)
+        for _ in _iter_arrays(tree)
+    )
+    if n_loaded < min_tensors:
+        raise RuntimeError(
+            f"suspiciously few tensors imported ({n_loaded} < {min_tensors}) "
+            "— checkpoint layout mismatch (foundation_model.py:297-301)"
+        )
     return params, stats
+
+
+def _iter_arrays(tree):
+    if isinstance(tree, Mapping):
+        for v in tree.values():
+            yield from _iter_arrays(v)
+    else:
+        yield tree
 
 
 # ---------------------------------------------------------------------------
