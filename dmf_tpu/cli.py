@@ -40,6 +40,10 @@ def _add_common(p):
     p.add_argument("--tiny", action="store_true",
                    help="shrink the models/geometry for smoke runs "
                         "(CPU-friendly)")
+    p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                   help="SPMD device mesh, e.g. '8' (8-way data parallel) "
+                        "or '4x2' (4-way data, 2-way tensor parallel); "
+                        "training shards the state and batches over it")
 
 
 def load_config(args):
@@ -57,6 +61,13 @@ def load_config(args):
         updates["reference_compat"] = False
     if args.debug_nans:
         updates["debug_anomaly"] = True
+    if getattr(args, "mesh", None):
+        part = args.mesh.lower().split("x")
+        n_data = int(part[0])
+        n_model = int(part[1]) if len(part) > 1 else 1
+        updates["parallel"] = dataclasses.replace(
+            cfg.parallel, mesh_shape=(n_data, n_model)
+        )
     if getattr(args, "tiny", False):
         def shrink(mc):
             return dataclasses.replace(

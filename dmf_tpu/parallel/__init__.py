@@ -5,6 +5,7 @@ from .mesh import (
     batch_sharding,
     local_mesh,
     make_mesh,
+    mesh_from_config,
     replicated,
 )
 from .sharding import (
@@ -21,6 +22,7 @@ __all__ = [
     "batch_sharding",
     "local_mesh",
     "make_mesh",
+    "mesh_from_config",
     "replicated",
     "make_spmd_step",
     "param_spec",

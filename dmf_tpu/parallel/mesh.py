@@ -52,3 +52,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def local_mesh() -> Mesh:
     """Trivial 1x1 mesh over the first device (single-chip path)."""
     return make_mesh(1, 1, devices=jax.devices()[:1])
+
+
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the production mesh from ``Config.parallel.mesh_shape``.
+
+    Returns None (single-device path) when no mesh shape is configured or it
+    resolves to a single device; raises if more devices are requested than
+    exist.
+    """
+    shape = cfg.parallel.mesh_shape
+    if shape is None:
+        return None
+    n_data, n_model = shape
+    if n_data * n_model <= 1:
+        return None
+    have = len(jax.devices())
+    if n_data * n_model > have:
+        raise ValueError(
+            f"mesh_shape {shape} needs {n_data * n_model} devices, "
+            f"have {have}"
+        )
+    return make_mesh(n_data, n_model)

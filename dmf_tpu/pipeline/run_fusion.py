@@ -10,6 +10,7 @@ best-reload, TTA x MC test, per-fold state-dict store.
 from __future__ import annotations
 
 import os
+import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -108,14 +109,19 @@ def build_fusion_state(
 def test_fusion_model(
     cfg: Config, dwi_model, dce_model, fusion_model, state: TrainState,
     test_data: Dict[str, np.ndarray], seed: int = 0, int8: bool = False,
+    calibration_data: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, Any]:
     """TTA x MC fusion test (train_fusion.py:342-434 semantics), plus the
     gating-weight aggregation reported as modality attention.
 
     ``int8=True`` serves the ensemble on the post-training-quantized conv
-    path (ops/quant.py), calibrated on the first test batch — an opt-in
-    deployment mode, not reference behavior.
+    path (ops/quant.py) — an opt-in deployment mode, not reference behavior.
+    Activation scales are calibrated on ``calibration_data`` (pass held-out
+    train/val volumes so the test set never influences the served model's
+    quantization parameters); when None, the first test batch is used as a
+    last resort for standalone calls.
     """
+    t_start = time.time()
     ds = ArrayDataset(dwi=test_data["dwi"], dce=test_data["dce"],
                       labels=test_data["labels"])
     rng = jax.random.PRNGKey(seed)
@@ -131,11 +137,12 @@ def test_fusion_model(
             make_quantized_fusion_fwd,
         )
 
-        nc = min(len(test_data["dwi"]), 8)
+        calib_src = calibration_data if calibration_data is not None else test_data
+        nc = min(len(calib_src["dwi"]), 8)
         _, qsets = make_quantized_fusion_apply(
             dwi_model, dce_model, fusion_model, variables,
-            calibration=(jnp.asarray(test_data["dwi"][:nc]),
-                         jnp.asarray(test_data["dce"][:nc])),
+            calibration=(jnp.asarray(calib_src["dwi"][:nc]),
+                         jnp.asarray(calib_src["dce"][:nc])),
             # mc/tta_mc serving runs dropout hot; calibrate with it active
             # so inverted-dropout scaling doesn't clip (ops/quant.py)
             calibration_mc=cfg.test_mode in ("mc", "tta_mc"),
@@ -167,6 +174,8 @@ def test_fusion_model(
     metrics = classification_report(probs, labels, cfg.class_num, "test_")
     if cfg.test_mode != "normal":
         metrics["test_uncertainty_mean"] = float(np.concatenate(all_std).mean())
+    # wall-clock report, model_test.py:103+198-199 parity
+    metrics["test_time_sec"] = round(time.time() - t_start, 3)
     return {
         "metrics": metrics,
         "probs": probs,
@@ -204,6 +213,8 @@ def run_fusion_model(
     clf_loss_fn = get_classification_loss_fn(
         cfg, fusion_data["train"]["labels"], "fusion"
     )
+    from ..parallel import mesh_from_config
+
     fit = fit_fusion(
         cfg, dwi_model, dce_model, fusion_model, state,
         train_data=fusion_data["train"],
@@ -213,11 +224,14 @@ def run_fusion_model(
         num_epochs=num_epochs,
         min_epochs=min_epochs,
         seed=seed,
+        mesh=mesh_from_config(cfg),
     )
     best_state = fit.best_state if fit.best_state is not None else fit.state
     test_result = test_fusion_model(
         cfg, dwi_model, dce_model, fusion_model, best_state,
         fusion_data["test"], seed=seed,
+        # int8 calibration (when enabled downstream) must never see test data
+        calibration_data=fusion_data["val"],
     )
     save_metrics_json(
         paths["metrics"], fit.train_metrics, test_result["metrics"],
@@ -247,9 +261,11 @@ def run_fusion_model(
 def fusion_model_test(
     cfg: Config, dwi_model, dce_model, fusion_model, state: TrainState,
     test_data: Dict[str, np.ndarray], seed: int = 0, int8: bool = False,
+    calibration_data: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, Any]:
     """Standalone fusion evaluation — API-parity alias for the reference's
     manual eval loop (model_test.py:99-202); delegates to the compiled
     TTA x MC test path (optionally on the int8 serving path)."""
     return test_fusion_model(cfg, dwi_model, dce_model, fusion_model, state,
-                             test_data, seed, int8=int8)
+                             test_data, seed, int8=int8,
+                             calibration_data=calibration_data)

@@ -49,7 +49,7 @@ def test_single_model(
     predictor = make_single_predictor(cfg, model)
     proc = data.processors_by_split["test"]
     test = data.splits["test"]
-    imgs = np.asarray(proc.eval_batch(test["imgs"], adc=test.get("adc")))
+    imgs = np.asarray(proc.eval_split(test["imgs"], adc=test.get("adc")))
     ds = ArrayDataset(imgs=imgs, labels=test["labels"])
 
     rng = jax.random.PRNGKey(seed)
@@ -112,6 +112,8 @@ def run_single_model(
 
     clf_loss_fn = get_classification_loss_fn(cfg, data.train_labels, method)
     controller = SingleModelOptController(cfg, method)
+    from ..parallel import mesh_from_config
+
     fit = fit_single(
         cfg, method, model, state,
         train_data=data.splits["train"],
@@ -124,6 +126,7 @@ def run_single_model(
         min_epochs=min_epochs,
         seed=seed,
         resume_from=resume_from,
+        mesh=mesh_from_config(cfg),
     )
 
     # best-checkpoint reload for testing (run_training.py:123-131)

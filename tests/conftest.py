@@ -9,9 +9,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices on a small host: partitions can take >40s (the
+    # default hard-termination) to reach a collective rendezvous
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 
 # pytest plugins (jaxtyping) import jax before this conftest runs, which
 # bakes the env's JAX_PLATFORMS into jax.config — override it directly.
