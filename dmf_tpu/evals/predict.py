@@ -55,9 +55,10 @@ def make_single_predictor(
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
 
-    def fwd(variables, x, train=False, mc=False, rng=None):
+    def fwd(variables, x, train=False, mc=False, rng=None, prefix=None):
         rngs = {"dropout": rng} if rng is not None else None
-        return model.apply(variables, x, train=train, mc=mc, rngs=rngs)
+        return model.apply(variables, x, train=train, mc=mc, rngs=rngs,
+                           prefix=prefix)
 
     def predict(variables, imgs, rng):
         B = imgs.shape[0]
@@ -72,30 +73,24 @@ def make_single_predictor(
             probs = jax.nn.softmax(logits, axis=-1).reshape(4, B, -1)
             return probs.mean(0), _std(probs, 0), aux
 
-        if mode == "mc":
+        if mode in ("mc", "tta_mc"):
+            if mode == "tta_mc":
+                xt, n_views = tta_views(imgs), 4
+            else:
+                xt, n_views = imgs, 1
             rngs = jax.random.split(rng, passes)
+            # dropout lives only after the backbone adapter: hoist the
+            # deterministic prefix (modality SE + backbone) out of the MC
+            # vmap — it runs ONCE instead of `passes` times
+            pre = model.apply(variables, xt, train=False, prefix_only=True)
 
             def one_pass(r):
-                logits, aux, _ = fwd(variables, imgs, mc=True, rng=r)
+                logits, aux, _ = fwd(variables, xt, mc=True, rng=r,
+                                     prefix=pre)
                 return jax.nn.softmax(logits, axis=-1), aux
 
-            probs, aux = jax.vmap(one_pass)(rngs)
-            last_aux = jax.tree.map(
-                lambda a: a[-1] if a is not None else None, aux,
-                is_leaf=lambda a: a is None,
-            )
-            return probs.mean(0), _std(probs, 0), last_aux
-
-        if mode == "tta_mc":
-            xt = tta_views(imgs)
-            rngs = jax.random.split(rng, passes)
-
-            def one_pass(r):
-                logits, aux, _ = fwd(variables, xt, mc=True, rng=r)
-                return jax.nn.softmax(logits, axis=-1), aux
-
-            probs, aux = jax.vmap(one_pass)(rngs)  # (P, 4B, C)
-            probs = probs.reshape(passes * 4, B, -1)
+            probs, aux = jax.vmap(one_pass)(rngs)  # (P, views*B, C)
+            probs = probs.reshape(passes * n_views, B, -1)
             last_aux = jax.tree.map(
                 lambda a: a[-1] if a is not None else None, aux,
                 is_leaf=lambda a: a is None,
@@ -133,13 +128,15 @@ def make_fusion_predictor(
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
 
-    def default_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng):
+    def default_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng,
+                    prefixes=None):
         rngs = {"dropout": rng} if rng is not None else None
+        pre_d, pre_c = prefixes if prefixes is not None else (None, None)
         _, dwi_aux, dwi_mask = dwi_model.apply(
-            dwi_vars, dwi_x, train=False, mc=mc, rngs=rngs
+            dwi_vars, dwi_x, train=False, mc=mc, rngs=rngs, prefix=pre_d
         )
         _, dce_aux, dce_mask = dce_model.apply(
-            dce_vars, dce_x, train=False, mc=mc, rngs=rngs
+            dce_vars, dce_x, train=False, mc=mc, rngs=rngs, prefix=pre_c
         )
         logits, fused_mask, aux = fusion_model.apply(
             fusion_vars,
@@ -148,7 +145,18 @@ def make_fusion_predictor(
         )
         return logits, aux
 
+    def default_prefixes(dwi_vars, dce_vars, dwi_x, dce_x):
+        return (
+            dwi_model.apply(dwi_vars, dwi_x, train=False, prefix_only=True),
+            dce_model.apply(dce_vars, dce_x, train=False, prefix_only=True),
+        )
+
+    default_fwd.compute_prefixes = default_prefixes
     fusion_fwd = fwd_override or default_fwd
+    # contract: a fwd may expose ``compute_prefixes`` to let mc/tta_mc hoist
+    # the encoders' deterministic prefix (modality SE + backbone) out of the
+    # per-pass vmap; overrides without it keep full per-pass forwards
+    compute_prefixes = getattr(fusion_fwd, "compute_prefixes", None)
 
     def predict(dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs, rng):
         B = dwi_imgs.shape[0]
@@ -176,11 +184,19 @@ def make_fusion_predictor(
                 x_dwi, x_dce = dwi_imgs, dce_imgs
                 n_views = 1
             rngs = jax.random.split(rng, passes)
+            pre = (compute_prefixes(dwi_vars, dce_vars, x_dwi, x_dce)
+                   if compute_prefixes is not None else None)
 
             def one_pass(r):
-                logits, aux = fusion_fwd(
-                    dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True, r
-                )
+                if pre is not None:
+                    logits, aux = fusion_fwd(
+                        dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True,
+                        r, prefixes=pre,
+                    )
+                else:  # override without prefix support: full forward
+                    logits, aux = fusion_fwd(
+                        dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True, r
+                    )
                 return jax.nn.softmax(logits, axis=-1), aux
 
             probs, aux = jax.vmap(one_pass)(rngs)

@@ -44,7 +44,17 @@ class Encoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, mc: bool = False):
+    def __call__(self, x, train: bool = False, mc: bool = False,
+                 prefix_only: bool = False, prefix=None):
+        """``prefix_only``/``prefix`` split the forward at the first
+        dropout-bearing module: everything up to and including the backbone
+        adapter is deterministic under MC-dropout inference, so the TTA x MC
+        predictor computes it ONCE and replays only the suffix per MC pass
+        (evals/predict.py).  ``prefix_only=True`` returns
+        ``(x_in, mod_attn_map, backbone_feats_or_None)``; passing that tuple
+        back as ``prefix`` skips the prefix modules (all modules here have
+        explicit names, so skipping never shifts parameter paths).
+        """
         mc_cfg = self.config
         c1, c2, c3 = mc_cfg.channels
         mask_pred = None
@@ -58,32 +68,43 @@ class Encoder(nn.Module):
         else:
             Block = ResLiteBlock
 
-        # ---- modality attention over raw input channels ----
-        if mc_cfg.enable_modality_attention:
-            x_in, mod_attn_map = SEBlock(
-                self.channel_num, reduction=2, dtype=self.dtype,
-                name="modality_attention",
-            )(x)
+        if prefix is not None:
+            x_in, mod_attn_map, bb = prefix
+            f1_b, f2_b, f3_b = bb if bb is not None else (None, None, None)
+            f1_in = f1_b if mc_cfg.use_backbone else x_in
         else:
-            x_in = x
+            # ---- modality attention over raw input channels ----
+            if mc_cfg.enable_modality_attention:
+                x_in, mod_attn_map = SEBlock(
+                    self.channel_num, reduction=2, dtype=self.dtype,
+                    name="modality_attention",
+                )(x)
+            else:
+                x_in = x
 
-        # ---- optional backbone + adapter ----
-        if mc_cfg.use_backbone:
-            if self.backbone is None:
-                raise ValueError("use_backbone=True but no backbone module given")
-            f1_b, f2_b, f3_b = BackboneAdapter(
-                backbone=self.backbone,
-                selected_indices_chains=tuple(
-                    tuple(c) for c in mc_cfg.backbone_index_lists
-                ),
-                out_channels=(c1, c1, c2),
-                is_transformer=mc_cfg.transformer_backbone,
-                dtype=self.dtype,
-                name="backbone_adapter",
-            )(x_in, train)
-            f1_in = f1_b
-        else:
-            f1_in = x_in
+            # ---- optional backbone + adapter ----
+            if mc_cfg.use_backbone:
+                if self.backbone is None:
+                    raise ValueError(
+                        "use_backbone=True but no backbone module given"
+                    )
+                f1_b, f2_b, f3_b = BackboneAdapter(
+                    backbone=self.backbone,
+                    selected_indices_chains=tuple(
+                        tuple(c) for c in mc_cfg.backbone_index_lists
+                    ),
+                    out_channels=(c1, c1, c2),
+                    is_transformer=mc_cfg.transformer_backbone,
+                    dtype=self.dtype,
+                    name="backbone_adapter",
+                )(x_in, train)
+                f1_in = f1_b
+            else:
+                f1_b = f2_b = f3_b = None
+                f1_in = x_in
+            if prefix_only:
+                bb = (f1_b, f2_b, f3_b) if mc_cfg.use_backbone else None
+                return x_in, mod_attn_map, bb
 
         # ---- block1 ----
         f1, r1 = Block(
@@ -112,7 +133,8 @@ class Encoder(nn.Module):
                 "f2_weight", nn.initializers.constant(0.5), ()
             )
             alpha = nn.sigmoid(f2_weight)
-            f2_in = nn.GroupNorm(num_groups=c1, dtype=self.dtype, name="norm_f2")(
+            f2_in = nn.GroupNorm(num_groups=c1, epsilon=1e-5, dtype=self.dtype,
+                                 name="norm_f2")(
                 alpha * f2_b + (1 - alpha) * f1
             )
         else:
@@ -144,7 +166,7 @@ class Encoder(nn.Module):
                     "f3_weight", nn.initializers.constant(0.5), ()
                 )
                 alpha = nn.sigmoid(f3_weight)
-                f3_in = nn.GroupNorm(num_groups=c2, dtype=self.dtype,
+                f3_in = nn.GroupNorm(num_groups=c2, epsilon=1e-5, dtype=self.dtype,
                                      name="norm_f3")(
                     alpha * f3_b + (1 - alpha) * f2
                 )

@@ -273,18 +273,31 @@ def make_quantized_fusion_fwd(dwi_model, dce_model, fusion_model, qsets):
     evals.predict.make_fusion_predictor(fwd_override=...) so TTA x
     MC-dropout uncertainty inference runs on the int8 serving path."""
 
-    def fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng):
+    def fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng,
+            prefixes=None):
         rngs = {"dropout": rng} if rng is not None else None
+        pre_d, pre_c = prefixes if prefixes is not None else (None, None)
         _, dwi_aux, dwi_mask = quantized_apply(
             dwi_model, dwi_vars, qsets["dwi"], dwi_x,
-            train=False, mc=mc, rngs=rngs)
+            train=False, mc=mc, rngs=rngs, prefix=pre_d)
         _, dce_aux, dce_mask = quantized_apply(
             dce_model, dce_vars, qsets["dce"], dce_x,
-            train=False, mc=mc, rngs=rngs)
+            train=False, mc=mc, rngs=rngs, prefix=pre_c)
         logits, fused_mask, aux = quantized_apply(
             fusion_model, fusion_vars, qsets["fusion"],
             dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_mask, dce_mask,
             train=False, mc=mc, rngs=rngs)
         return logits, aux
 
+    def compute_prefixes(dwi_vars, dce_vars, dwi_x, dce_x):
+        # the hoisted deterministic prefix runs on the SAME int8 kernels
+        # (backbone convs are the biggest int8 win)
+        return (
+            quantized_apply(dwi_model, dwi_vars, qsets["dwi"], dwi_x,
+                            train=False, prefix_only=True),
+            quantized_apply(dce_model, dce_vars, qsets["dce"], dce_x,
+                            train=False, prefix_only=True),
+        )
+
+    fwd.compute_prefixes = compute_prefixes
     return fwd

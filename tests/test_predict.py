@@ -126,3 +126,103 @@ class TestFusionPredictor:
         assert m.shape == (2, 4)
         assert float(np.asarray(s).mean()) > 0
         assert aux["gating_weights"].shape[-1] == 2
+
+
+class TestPrefixHoistEquivalence:
+    """The mc/tta_mc predictors hoist the deterministic encoder prefix
+    (modality SE + backbone adapter) out of the per-pass vmap; results must
+    EXACTLY match per-pass full forwards with the same dropout rng splits."""
+
+    def _naive_single(self, cfg, model, variables, imgs, rng, mode, passes):
+        xt = tta_views(imgs) if mode == "tta_mc" else imgs
+        n_views = 4 if mode == "tta_mc" else 1
+        B = imgs.shape[0]
+        rngs = jax.random.split(rng, passes)
+        probs = []
+        for r in rngs:
+            logits, _, _ = model.apply(variables, xt, train=False, mc=True,
+                                       rngs={"dropout": r})
+            probs.append(jax.nn.softmax(logits, axis=-1))
+        probs = jnp.stack(probs).reshape(passes * n_views, B, -1)
+        return probs.mean(0), jnp.std(probs, axis=0, ddof=1)
+
+    @pytest.mark.parametrize("mode", ["mc", "tta_mc"])
+    def test_single_predictor_matches_naive(self, encoder_setup, mode):
+        cfg, model, variables, x = encoder_setup
+        pred = make_single_predictor(cfg, model, mode=mode, mc_passes=3)
+        key = jax.random.PRNGKey(11)
+        m, s, _ = pred(variables, x, key)
+        m_ref, s_ref = self._naive_single(cfg, model, variables, x, key,
+                                          mode, 3)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_single_predictor_matches_naive_with_backbone(self):
+        from dmf_tpu.config import resolve_backbone_config
+        from dmf_tpu.models.backbones import resnet50_features
+
+        cfg = default_parameters(mc_passes=2)
+        mc = dataclasses.replace(
+            resolve_backbone_config(cfg.dwi_model), input_size=32,
+        )
+        cfg = cfg.replace(dwi_model=mc)
+        model = Encoder(method="dwi", config=cfg.dwi_model, channel_num=14,
+                        num_classes=4, backbone=resnet50_features(14))
+        x = jax.random.uniform(jax.random.PRNGKey(5), (1, 32, 32, 14))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=False,
+        )
+        pred = make_single_predictor(cfg, model, mode="mc", mc_passes=2)
+        key = jax.random.PRNGKey(2)
+        m, s, _ = pred(variables, x, key)
+        m_ref, s_ref = self._naive_single(cfg, model, variables, x, key,
+                                          "mc", 2)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fusion_predictor_matches_naive(self):
+        cfg = tiny_cfg()
+        dwi = Encoder(method="dwi", config=cfg.dwi_model, channel_num=5,
+                      num_classes=4)
+        dce = Encoder(method="dce", config=cfg.dce_model, channel_num=6,
+                      num_classes=4)
+        fusion = FusionModel(config=cfg.fusion_model, num_classes=4)
+        xd = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 5))
+        xc = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 6))
+        k = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        dwi_vars = dwi.init(k, xd, train=False)
+        dce_vars = dce.init(k, xc, train=False)
+        _, dwi_aux, dwi_m = dwi.apply(dwi_vars, xd, train=False)
+        _, dce_aux, dce_m = dce.apply(dce_vars, xc, train=False)
+        fusion_vars = fusion.init(
+            k, dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_m, dce_m,
+            train=False,
+        )
+        passes = 3
+        pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc",
+                                     mc_passes=passes)
+        key = jax.random.PRNGKey(9)
+        m, s, _ = pred(dwi_vars, dce_vars, fusion_vars, xd, xc, key)
+
+        xtd, xtc = tta_views(xd), tta_views(xc)
+        probs = []
+        for r in jax.random.split(key, passes):
+            rngs = {"dropout": r}
+            _, d_aux, d_m = dwi.apply(dwi_vars, xtd, train=False, mc=True,
+                                      rngs=rngs)
+            _, c_aux, c_m = dce.apply(dce_vars, xtc, train=False, mc=True,
+                                      rngs=rngs)
+            logits, _, _ = fusion.apply(
+                fusion_vars, d_aux["raw_feats"], c_aux["raw_feats"], d_m,
+                c_m, train=False, mc=True, rngs=rngs,
+            )
+            probs.append(jax.nn.softmax(logits, axis=-1))
+        probs = jnp.stack(probs).reshape(passes * 4, 2, -1)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(probs.mean(0)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(jnp.std(probs, axis=0, ddof=1)),
+            rtol=1e-4, atol=1e-6)
