@@ -95,3 +95,31 @@ class ModalityProcessor:
         if adc is not None:
             return self._eval_fn_adc(jnp.asarray(imgs), jnp.asarray(adc))
         return self._eval_fn(jnp.asarray(imgs))
+
+    def eval_split(self, imgs, adc=None, chunk: int = 256):
+        """Whole-split eval preprocessing, chunked.
+
+        ``eval_batch`` on an entire split stages the full split on device at
+        once — fine at this dataset's scale, an OOM trap at any real one.
+        This bounds device residency to one ``chunk`` and reuses a single
+        compiled shape by padding the tail chunk (normalization is
+        per-sample, so padding rows never affect kept rows).  Returns a host
+        numpy array.
+        """
+        import numpy as np
+
+        n = len(imgs)
+        if n <= chunk:
+            return np.asarray(self.eval_batch(imgs, adc=adc))
+        outs = []
+        for i in range(0, n, chunk):
+            im = np.asarray(imgs[i:i + chunk])
+            ad = np.asarray(adc[i:i + chunk]) if adc is not None else None
+            k = len(im)
+            if k < chunk:  # pad to the one compiled shape, slice after
+                pad = chunk - k
+                im = np.concatenate([im, np.repeat(im[-1:], pad, axis=0)])
+                if ad is not None:
+                    ad = np.concatenate([ad, np.repeat(ad[-1:], pad, axis=0)])
+            outs.append(np.asarray(self.eval_batch(im, adc=ad))[:k])
+        return np.concatenate(outs)

@@ -21,7 +21,7 @@ from ..data.modality import ModalityProcessor
 from ..data.pipeline import ArrayDataset, iterate_batches
 from ..evals.metrics import MeanMetric, classification_report
 from ..losses import get_classification_loss_fn, get_mask_loss_fn
-from ..utils.checkpoint import BestCheckpointer
+from ..utils.checkpoint import BestCheckpointer, RollingSaver
 from ..utils.logging import MetricLogger
 from .optim import build_group_spec
 from .schedule import (
@@ -158,12 +158,13 @@ def fit_single(
         min_delta=cfg.early_stopping.min_delta,
     )
     ckpt = BestCheckpointer(f"{workdir}/checkpoints", monitor="val_acc", mode="max")
+    roll = RollingSaver(f"{workdir}/checkpoints")
     logger = MetricLogger(f"{workdir}/logs")
 
     if resume_from is not None:
-        from ..utils.checkpoint import restore_pytree
+        from ..utils.checkpoint import load_checkpoint
 
-        state = restore_pytree(resume_from, jax.device_get(state))
+        state = load_checkpoint(resume_from, jax.device_get(state))
         if mesh is None:
             state = jax.device_put(state)
     state, train_step, batch_sh, n_data = _setup_spmd(cfg, state, train_step, mesh)
@@ -173,8 +174,9 @@ def fit_single(
         labels=train_data["labels"], adc=train_data.get("adc"),
     )
     global_step = 0
-    # eval inputs are deterministic: process once, reuse every epoch
-    val_imgs = np.asarray(processor.eval_batch(val_data["imgs"],
+    # eval inputs are deterministic: process once (chunked — bounds device
+    # memory on large splits), reuse every epoch
+    val_imgs = np.asarray(processor.eval_split(val_data["imgs"],
                                                adc=val_data.get("adc")))
     val_ds = ArrayDataset(
         imgs=val_imgs, masks=val_data.get("masks"), labels=val_data["labels"]
@@ -295,10 +297,8 @@ def fit_single(
         if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):
             best_state = jax.device_get(state)
         if viz_every and epoch % max(viz_every, 1) == 0:
-            # rolling resume checkpoint
-            from ..utils.checkpoint import save_pytree
-
-            save_pytree(f"{workdir}/checkpoints/last", jax.device_get(state))
+            # rolling resume checkpoint (async orbax; overlaps next epoch)
+            roll.save(jax.device_get(state))
 
         history.append(epoch_metrics)
         if epoch % log_every == 0:
@@ -309,6 +309,7 @@ def fit_single(
             if epoch + 1 >= min_epochs:
                 break
 
+    roll.wait()
     logger.close()
     train_metrics = history[-1] if history else {}
     return FitResult(
@@ -379,6 +380,7 @@ def fit_fusion(
         min_delta=cfg.early_stopping.min_delta,
     )
     ckpt = BestCheckpointer(f"{workdir}/checkpoints", monitor="val_acc", mode="max")
+    roll = RollingSaver(f"{workdir}/checkpoints")
     logger = MetricLogger(f"{workdir}/logs")
 
     train_ds = ArrayDataset(
@@ -500,9 +502,7 @@ def fit_fusion(
         if ckpt.maybe_save(jax.device_get(state), epoch_metrics, epoch):
             best_state = jax.device_get(state)
         if viz_every and epoch % max(viz_every, 1) == 0:
-            from ..utils.checkpoint import save_pytree
-
-            save_pytree(f"{workdir}/checkpoints/last", jax.device_get(state))
+            roll.save(jax.device_get(state))
         history.append(epoch_metrics)
         if epoch % log_every == 0:
             logger.log_epoch(epoch, epoch_metrics)
@@ -512,6 +512,7 @@ def fit_fusion(
             if epoch + 1 >= min_epochs:
                 break
 
+    roll.wait()
     logger.close()
     return FitResult(
         state=state, best_state=best_state, history=history,

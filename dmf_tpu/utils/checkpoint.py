@@ -86,9 +86,58 @@ class OrbaxCheckpointer:
         path = os.path.join(self.directory, f"step_{step}")
         self._ckptr.save(path, state, force=True)
 
+    def save_named(self, name: str, state: Any) -> None:
+        """Overwrite a fixed-name checkpoint (rolling 'last')."""
+        self.wait()  # one async save in flight at a time
+        self._ckptr.save(os.path.join(self.directory, name), state, force=True)
+
     def restore(self, step: int, target: Any) -> Any:
         path = os.path.join(self.directory, f"step_{step}")
         return self._ckptr.restore(path, target)
 
+    def restore_named(self, name: str, target: Any) -> Any:
+        return self._ckptr.restore(os.path.join(self.directory, name), target)
+
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
+
+
+class RollingSaver:
+    """Rolling 'last' resume checkpoint for the fit loops.
+
+    Async Orbax when available — the serialization overlaps the next epoch's
+    device compute instead of stalling the host loop (the Lightning reference
+    blocks on torch.save) — with a synchronous msgpack fallback so
+    orbax-less environments still get resume.
+    """
+
+    def __init__(self, directory: str, name: str = "last"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.name = name
+        try:
+            self._orbax: Optional[OrbaxCheckpointer] = OrbaxCheckpointer(
+                self.directory
+            )
+        except Exception:
+            self._orbax = None
+
+    def save(self, state: Any) -> None:
+        if self._orbax is not None:
+            self._orbax.save_named(self.name, state)
+        else:
+            save_pytree(os.path.join(self.directory, self.name), state)
+
+    def wait(self) -> None:
+        if self._orbax is not None:
+            self._orbax.wait()
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore from either format: an Orbax directory (RollingSaver) or a
+    flax msgpack file (BestCheckpointer / save_pytree)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(path, target)
+    return restore_pytree(path, target)

@@ -226,6 +226,10 @@ class NativeBatchLoader:
         )
         if not self._h:
             raise RuntimeError("loader_create failed")
+        # epoch generation: stale releases from generators abandoned across
+        # a new_epoch() must be ignored (the reseed already freed every
+        # slot natively, and workers may have re-claimed this one)
+        self._gen = 0
 
     @staticmethod
     def available() -> bool:
@@ -233,6 +237,7 @@ class NativeBatchLoader:
         return lib is not None and _bind_loader(lib)
 
     def new_epoch(self, seed: int) -> None:
+        self._gen += 1
         self._lib.loader_new_epoch(self._h, seed)
 
     def __iter__(self):
@@ -246,6 +251,7 @@ class NativeBatchLoader:
                                          ctypes.byref(slot))
             if size == 0:
                 return
+            gen = self._gen
             batch = {}
             for a, name in enumerate(self._names):
                 shape = self.shapes[name]
@@ -260,11 +266,13 @@ class NativeBatchLoader:
                 yield batch
             finally:
                 # slot buffers are recycled after release; consumers must
-                # have copied/uploaded by the next iteration step.  Guard
-                # the handle: if close() ran while this generator was
-                # suspended (early break / error path), releasing into a
-                # destroyed loader would dereference NULL in C++.
-                if self._h:
+                # have copied/uploaded by the next iteration step.  Guards:
+                # the handle (close() may have run while this generator was
+                # suspended — releasing into a destroyed loader would
+                # dereference NULL), and the epoch generation (a generator
+                # finalized after new_epoch() must not free a slot the new
+                # epoch's workers may already have re-claimed).
+                if self._h and gen == self._gen:
                     self._lib.loader_release(self._h, slot.value)
 
     def close(self) -> None:

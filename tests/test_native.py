@@ -190,6 +190,25 @@ class TestNativeIterateBatches:
         ld.close()          # destroy while the generator is suspended
         del it              # generator finalizer must not touch the loader
 
+    def test_stale_generator_release_ignored_after_new_epoch(self):
+        """Regression: a generator abandoned mid-epoch and finalized AFTER
+        new_epoch() must not loader_release() a slot the new epoch's workers
+        may already have re-claimed (generation guard in NativeBatchLoader)."""
+        from dmf_tpu.utils.native import NativeBatchLoader
+
+        if not NativeBatchLoader.available():
+            pytest.skip("native lib unavailable")
+        imgs = np.zeros((64, 4, 4, 1), np.float32)
+        imgs[:, 0, 0, 0] = np.arange(64)
+        ld = NativeBatchLoader({"imgs": imgs}, None, 8, shuffle=True, seed=0)
+        it = iter(ld)
+        next(it)            # holds a slot, generator suspended
+        ld.new_epoch(seed=1)
+        del it              # finalizer fires post-reseed: must be a no-op
+        seen = [int(i) for b in ld for i in b["imgs"][:, 0, 0, 0]]
+        assert sorted(seen) == list(range(64))  # full epoch, no lost batch
+        ld.close()
+
     def test_loader_reused_across_epochs_in_iterate_batches(self):
         """The pipeline caches the native loader on the dataset and reseeds
         it per epoch instead of rebuilding ring buffers + threads."""

@@ -122,11 +122,30 @@ class TestCheckpointRoundtrip:
         assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
 
     def test_resume_checkpoint_exists(self, tiny_cfg, single_results):
+        # RollingSaver writes an orbax dir 'last' (async) or 'last.msgpack'
+        # (fallback); load_checkpoint restores either
         results_dir, _ = single_results
-        assert os.path.exists(
-            os.path.join(results_dir, "dwi", "fold_0", "checkpoints",
-                         "last.msgpack")
-        )
+        base = os.path.join(results_dir, "dwi", "fold_0", "checkpoints", "last")
+        assert os.path.isdir(base) or os.path.exists(base + ".msgpack")
+
+    def test_rolling_saver_roundtrip(self, tiny_cfg, single_results, tmp_path):
+        import jax
+        from dmf_tpu.utils.checkpoint import RollingSaver, load_checkpoint
+
+        _, out = single_results
+        state = jax.device_get(out["dwi"]["state"])
+        roll = RollingSaver(str(tmp_path))
+        roll.save(state)
+        roll.wait()
+        restored = load_checkpoint(str(tmp_path / "last"), state)
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(restored.params)
+        assert all(np.allclose(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b))
+        # rolling overwrite must be valid too
+        roll.save(restored)
+        roll.wait()
+        load_checkpoint(str(tmp_path / "last"), state)
 
 
 class TestTorchStoreLoader:
@@ -230,3 +249,9 @@ class TestNoCompatADC:
         assert out.shape[-1] == tiny_cfg.dwi_channel_num
         ev = proc.eval_batch(tr["imgs"][:4], adc=tr["adc"][:4])
         assert ev.shape[-1] == tiny_cfg.dwi_channel_num
+        # chunked whole-split preprocessing must equal the one-shot path
+        # (incl. an uneven tail chunk that exercises the pad+slice)
+        ev_chunked = proc.eval_split(tr["imgs"][:4], adc=tr["adc"][:4],
+                                     chunk=3)
+        np.testing.assert_allclose(np.asarray(ev), ev_chunked,
+                                   rtol=1e-6, atol=1e-6)
