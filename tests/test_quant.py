@@ -124,6 +124,32 @@ class TestCalibration:
         rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 0.05, rel
 
+    def test_percentile_calibration_clips_outliers(self, rng):
+        """percentile<100 must give a smaller act scale than abs-max, and on
+        an outlier-heavy distribution the forward must stay bounded-close."""
+        m = TwoConv()
+        x = rng.randn(2, 16, 16, 8).astype(np.float32)
+        x[0, 0, 0, 0] = 80.0  # one wild outlier dominates abs-max
+        x = jnp.asarray(x)
+        v = m.init(jax.random.PRNGKey(0), x)
+
+        q_max = build_quant_set(v["params"], min_fan_in=8, min_out=8)
+        calibrate_act_scales(m, v, q_max, x)
+        q_pct = build_quant_set(v["params"], min_fan_in=8, min_out=8)
+        calibrate_act_scales(m, v, q_pct, x, percentile=99.9)
+
+        s_max = float(q_max["/c1"]["x_scale"])
+        s_pct = float(q_pct["/c1"]["x_scale"])
+        assert s_pct < s_max * 0.5  # the outlier no longer sets the range
+
+        ref = np.asarray(m.apply(v, x))
+        out = np.asarray(quantized_apply(m, v, q_pct, x))
+        # bulk activations use the finer grid; error stays bounded
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        # the clipped outlier itself is mispredicted by construction; the
+        # bound just pins that bulk error doesn't blow up
+        assert rel < 0.15, rel
+
     def test_encoder_quantized_forward(self, rng):
         """End-to-end: quantize the real Encoder (no backbone, tiny) and
         check logits stay close to fp."""
@@ -213,5 +239,9 @@ class TestQuantizedPredictor:
         mp, sp, _ = fp_pred(dv, cv, fv, xd, xc, key)
         mq, sq, _ = q_pred(dv, cv, fv, xd, xc, key)
         assert mp.shape == mq.shape == (2, 4)
-        # same rngs, same ensemble structure -> probabilities close
+        # same rngs, same ensemble structure -> probabilities close AND the
+        # served classification decisions agree (the deployment-relevant
+        # int8-accuracy criterion bench.py --int8 reports at full scale)
         assert np.abs(np.asarray(mp) - np.asarray(mq)).max() < 0.05
+        assert np.array_equal(np.asarray(mp).argmax(-1),
+                              np.asarray(mq).argmax(-1))
