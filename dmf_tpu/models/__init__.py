@@ -19,6 +19,11 @@ from .transformer import (
 from .adapter import BackboneAdapter
 from .encoder import Encoder
 from .fusion import CrossAttentionBlock, FusionModel, GatingAttention
+from .ref_ckpt import (
+    import_reference_encoder,
+    import_reference_fusion,
+    load_lightning_ckpt,
+)
 
 __all__ = [
     "BatchNorm",
@@ -40,4 +45,7 @@ __all__ = [
     "CrossAttentionBlock",
     "FusionModel",
     "GatingAttention",
+    "import_reference_encoder",
+    "import_reference_fusion",
+    "load_lightning_ckpt",
 ]

@@ -134,8 +134,32 @@ class RollingSaver:
 
 
 def load_checkpoint(path: str, target: Any) -> Any:
-    """Restore from either format: an Orbax directory (RollingSaver) or a
-    flax msgpack file (BestCheckpointer / save_pytree)."""
+    """Restore from any supported format: an Orbax directory (RollingSaver),
+    a flax msgpack file (BestCheckpointer / save_pytree), or a reference
+    PyTorch/Lightning ``.ckpt``/``.pth`` (migration path — weights only,
+    optimizer state stays fresh; prepare_single_model.py:208-218's
+    load_pretrained equivalent)."""
+    if path.endswith((".ckpt", ".pth")):
+        from ..models.ref_ckpt import (
+            import_reference_encoder,
+            import_reference_fusion,
+            load_lightning_ckpt,
+        )
+
+        sd = load_lightning_ckpt(path)
+        tpl = {"params": target.params, "batch_stats": target.batch_stats}
+        if "classification_head" in target.params:
+            v = import_reference_encoder(sd, tpl)
+        elif "classifier" in target.params:
+            v = import_reference_fusion(sd, tpl)
+        else:
+            raise ValueError(
+                "torch-checkpoint resume supports single encoder / fusion "
+                "model states; combined fusion TrainStates need per-model "
+                "import via dmf_tpu.models.ref_ckpt"
+            )
+        return target.replace(params=v["params"],
+                              batch_stats=v["batch_stats"])
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
