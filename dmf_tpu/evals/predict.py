@@ -84,18 +84,22 @@ def make_single_predictor(
             # vmap — it runs ONCE instead of `passes` times
             pre = model.apply(variables, xt, train=False, prefix_only=True)
 
-            def one_pass(r):
-                logits, aux, _ = fwd(variables, xt, mc=True, rng=r,
-                                     prefix=pre)
-                return jax.nn.softmax(logits, axis=-1), aux
+            # lean passes: only probabilities leave the vmap, so XLA
+            # dead-code-eliminates the recon heads / mimic projectors in
+            # passes 0..P-2; the LAST pass runs full and supplies aux
+            # (same pass count, identical mean/std, aux = last pass's,
+            # exactly as before)
+            def lean_pass(r):
+                logits, _, _ = fwd(variables, xt, mc=True, rng=r, prefix=pre)
+                return jax.nn.softmax(logits, axis=-1)
 
-            probs, aux = jax.vmap(one_pass)(rngs)  # (P, views*B, C)
-            probs = probs.reshape(passes * n_views, B, -1)
-            last_aux = jax.tree.map(
-                lambda a: a[-1] if a is not None else None, aux,
-                is_leaf=lambda a: a is None,
-            )
-            return probs.mean(0), _std(probs, 0), last_aux
+            probs_head = jax.vmap(lean_pass)(rngs[:-1])
+            logits_last, aux, _ = fwd(variables, xt, mc=True, rng=rngs[-1],
+                                      prefix=pre)
+            probs = jnp.concatenate(
+                [probs_head, jax.nn.softmax(logits_last, axis=-1)[None]]
+            ).reshape(passes * n_views, B, -1)
+            return probs.mean(0), _std(probs, 0), aux
 
         raise ValueError(f"Unknown predict mode: {mode}")
 
@@ -187,25 +191,29 @@ def make_fusion_predictor(
             pre = (compute_prefixes(dwi_vars, dce_vars, x_dwi, x_dce)
                    if compute_prefixes is not None else None)
 
-            def one_pass(r):
+            def full_pass(r):
                 if pre is not None:
-                    logits, aux = fusion_fwd(
+                    return fusion_fwd(
                         dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True,
                         r, prefixes=pre,
                     )
-                else:  # override without prefix support: full forward
-                    logits, aux = fusion_fwd(
-                        dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True, r
-                    )
-                return jax.nn.softmax(logits, axis=-1), aux
+                # override without prefix support: full forward
+                return fusion_fwd(
+                    dwi_vars, dce_vars, fusion_vars, x_dwi, x_dce, True, r
+                )
 
-            probs, aux = jax.vmap(one_pass)(rngs)
-            probs = probs.reshape(passes * n_views, B, -1)
-            last_aux = jax.tree.map(
-                lambda a: a[-1] if a is not None else None, aux,
-                is_leaf=lambda a: a is None,
-            )
-            return probs.mean(0), _std(probs, 0), last_aux
+            # lean passes (probs only — XLA prunes recon/projector work);
+            # the last pass runs full and supplies aux, as before
+            def lean_pass(r):
+                logits, _ = full_pass(r)
+                return jax.nn.softmax(logits, axis=-1)
+
+            probs_head = jax.vmap(lean_pass)(rngs[:-1])
+            logits_last, aux = full_pass(rngs[-1])
+            probs = jnp.concatenate(
+                [probs_head, jax.nn.softmax(logits_last, axis=-1)[None]]
+            ).reshape(passes * n_views, B, -1)
+            return probs.mean(0), _std(probs, 0), aux
 
         raise ValueError(f"Unknown predict mode: {mode}")
 

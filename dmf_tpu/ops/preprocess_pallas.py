@@ -1,10 +1,17 @@
-"""Fused Pallas preprocessing kernel: DWI per-channel z-score normalize.
+"""EXPERIMENTAL Pallas preprocessing kernel: DWI per-channel z-score.
 
-The XLA version (data/preprocess.py:dwi_normalize) compiles to several
-reduction+elementwise passes over HBM; this kernel does one pass per image —
-reductions and the normalize/clip/rescale epilogue fused in VMEM
-(BASELINE.json names fused preprocessing kernels explicitly).  Numerics
-match the reference formula (dataset.py:14-41) with unbiased std.
+NOT the production path — ``data/preprocess.py::dwi_normalize`` (XLA) is.
+Measured on v5e at the serving geometry (128, 256, 256, 14) fp32: this
+whole-image-per-block design does not fit VMEM — the (256,256,14) block is
+3.67 MB, double-buffered in+out ~15 MB, plus ~32 MB of register-allocator
+spill slots for the fused reduction, exceeding the 16 MB VMEM budget
+(RESOURCE_EXHAUSTED at compile).  A production version needs a two-pass
+tiled reduction (row-tile partial sums -> rescale pass), which XLA's fusion
+of the same computation already approximates well; the XLA path measured
+within noise of HBM speed-of-light, so the extra kernel complexity isn't
+paid for.  Kept as a tested reference for the Pallas reduction pattern at
+small geometries.  Numerics match the reference formula (dataset.py:14-41)
+with unbiased std.
 """
 
 from __future__ import annotations
