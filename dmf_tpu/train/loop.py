@@ -145,6 +145,11 @@ def fit_single(
     spec = build_group_spec(
         state.params, mc.use_backbone, cfg.reference_compat
     )
+    if cfg.debug_training:
+        # optimizer-group dump, selector_helpers.py:336-353 equivalent
+        from .optim import describe_groups
+
+        print(describe_groups(state.params, spec, controller.hyperparams()))
     train_step = make_single_train_step(
         cfg, method, model, clf_loss_fn, mask_loss_fn, spec,
         jit_compile=(mesh is None),
@@ -364,6 +369,10 @@ def fit_fusion(
 
     spec = build_fusion_group_spec(state.params, cfg)
     controller = FusionOptController(cfg)
+    if cfg.debug_training:
+        from .optim import describe_groups
+
+        print(describe_groups(state.params, spec, controller.hyperparams()))
     train_step = make_fusion_train_step(
         cfg, dwi_model, dce_model, fusion_model, clf_loss_fn, mask_loss_fn,
         spec, jit_compile=(mesh is None),

@@ -95,6 +95,44 @@ def build_group_spec(
     return GroupSpec(group_ids=ids, num_groups=num_groups, names=names)
 
 
+def describe_groups(params, spec: GroupSpec, hp=None,
+                    max_examples: int = 3) -> str:
+    """Human-readable optimizer-group dump (selector_helpers.py:336-353's
+    print_grouping_debug + print_param_group_summary equivalent).
+
+    Returns the text instead of printing so callers can route it to logs;
+    per group: leaf/param counts, current lr/wd/trainable from ``hp`` when
+    given, and a few example parameter paths.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_ids = jax.tree_util.tree_leaves(spec.group_ids)
+    by_group: Dict[int, list] = {}
+    for (path, leaf), gid in zip(flat, flat_ids):
+        by_group.setdefault(int(gid), []).append(
+            (_path_str(path), int(np.prod(leaf.shape)) if leaf.shape else 1)
+        )
+    lines = ["optimizer groups:"]
+    for gid in sorted(by_group):
+        entries = by_group[gid]
+        n_params = sum(n for _, n in entries)
+        if gid < 0:
+            head = f"  [excluded] {len(entries)} leaves, {n_params:,} params"
+        else:
+            name = (spec.names[gid - (min(g for g in by_group if g >= 0))]
+                    if gid - (min(g for g in by_group if g >= 0))
+                    < len(spec.names) else str(gid))
+            head = (f"  group {gid} ({name}): {len(entries)} leaves, "
+                    f"{n_params:,} params")
+            if hp is not None:
+                head += (f", lr={float(hp.lr[gid]):.2e}"
+                         f" wd={float(hp.wd[gid]):.2e}"
+                         f" trainable={float(hp.trainable[gid]):.0f}")
+        lines.append(head)
+        for path, _ in entries[:max_examples]:
+            lines.append(f"      {path}")
+    return "\n".join(lines)
+
+
 def discriminative_hparams(
     opt_cfg, num_groups: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -231,3 +231,30 @@ class TestPerGroupBiasCorrection:
                                    t0.detach().numpy(), atol=2e-6)
         np.testing.assert_allclose(np.asarray(params["b"]["kernel"]),
                                    t1.detach().numpy(), atol=2e-6)
+
+
+def test_describe_groups_dump():
+    """Param-group debug dump (selector_helpers.py:336-353 parity): per-group
+    leaf/param counts, lr/wd/trainable, excluded classification head."""
+    import jax.numpy as jnp
+
+    from dmf_tpu.train.optim import build_group_spec, describe_groups, discriminative_hparams
+    from dmf_tpu.train.optim import GroupedHyperParams
+
+    params = {
+        "block1": {"Conv_0": {"kernel": jnp.zeros((3, 3, 4, 8))}},
+        "block2": {"Conv_0": {"kernel": jnp.zeros((3, 3, 8, 16))}},
+        "mask_head": {"Conv_0": {"kernel": jnp.zeros((1, 1, 16, 1)),
+                                 "bias": jnp.zeros((1,))}},
+        "classification_head": {"Dense_0": {"kernel": jnp.zeros((16, 4))}},
+    }
+    spec = build_group_spec(params, use_backbone=False, reference_compat=True)
+    hp = GroupedHyperParams(lr=jnp.asarray([1e-3, 1e-3, 1e-3]),
+                            wd=jnp.asarray([1e-2, 1e-2, 1e-2]),
+                            trainable=jnp.asarray([1.0, 0.0, 1.0]))
+    text = describe_groups(params, spec, hp)
+    assert "group 0 (block1)" in text
+    assert "[excluded]" in text          # classification head (compat quirk)
+    assert "trainable=0" in text         # frozen group visible
+    assert "block1/Conv_0/kernel" in text
+    assert f"{3 * 3 * 4 * 8:,}" in text  # param count
