@@ -229,6 +229,11 @@ def fit_single(
             }
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
+            if cfg.debug_training and global_step == 1:
+                # first-batch normalization check (train.py:1074-1079)
+                from ..utils.logging import input_stats
+
+                print(input_stats(proc["imgs"], proc.get("masks")))
             state, metrics = train_step(state, proc, drop_key, hp)
             # one transfer per step (per-metric float() would block 8x)
             metrics = jax.device_get(metrics)
@@ -436,6 +441,10 @@ def fit_fusion(
             }
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
+            if cfg.debug_training and global_step == 1:
+                from ..utils.logging import input_stats
+
+                print(input_stats(proc["dwi"], proc.get("masks")))
             state, metrics = train_step(state, proc, drop_key, hp)
             metrics = jax.device_get(metrics)  # one transfer per step
             _warn_nonfinite(metrics, epoch, global_step)

@@ -76,3 +76,21 @@ def save_metrics_json(
             f,
             indent=2,
         )
+
+
+def input_stats(inputs, masks=None) -> str:
+    """Input-normalization debug line (train.py:1074-1079 parity).
+
+    Host-side; call on a first batch under ``debug_training`` to confirm
+    preprocessing produced the expected ranges.
+    """
+    import numpy as np
+
+    x = np.asarray(inputs)
+    s = (f"[DEBUG] Input Stats: Min={x.min():.4f}, Max={x.max():.4f}, "
+         f"Mean={x.mean():.4f}, Std={x.std():.4f}")
+    if masks is not None:
+        m = np.asarray(masks)
+        s += (f"\n[DEBUG] Mask Stats: Min={m.min():.4f}, Max={m.max():.4f}, "
+              f"Mean={m.mean():.4f}")
+    return s

@@ -84,3 +84,16 @@ class TestProfiling:
         assert t.count == 3
         assert t.mean_step_time >= 0.0
         assert set(t.summary()) == {"mean_step_time_s", "steps_per_sec"}
+
+
+def test_input_stats_debug_line():
+    """train.py:1074-1079 parity: input/mask normalization debug line."""
+    import numpy as np
+
+    from dmf_tpu.utils.logging import input_stats
+
+    x = np.linspace(0.0, 1.0, 16).reshape(2, 2, 2, 2)
+    s = input_stats(x, masks=np.ones((2, 2, 2, 1)))
+    assert "Min=0.0000" in s and "Max=1.0000" in s
+    assert "Mask Stats" in s and "Mean=1.0000" in s
+    assert "Mask" not in input_stats(x)
