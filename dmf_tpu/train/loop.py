@@ -205,9 +205,12 @@ def fit_single(
         # shape stable across epochs) — the reference's DataLoader
         # drop_last=False semantics: the short batch's loss mean and BN
         # statistics cover each tail sample exactly once.  Under a mesh the
-        # tail is padded only to the next multiple of the data axis; the
-        # duplicated rows (< n_data) slightly re-weight that one batch's
-        # loss/BN (metrics still exclude them via the valid mask).
+        # tail is instead padded up to the next multiple of the data axis
+        # (sharding requires it), and the < n_data duplicated rows DO enter
+        # that one step's loss mean, gradient, BN stats, and step metrics —
+        # a bounded, once-per-epoch re-weighting that exact parity would
+        # need per-sample loss weighting to remove; the single-device path
+        # has no such divergence.
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(
             train_ds, cfg.batch_size, shuffle=True, rng=np_rng,
@@ -238,8 +241,9 @@ def fit_single(
             # one transfer per step (per-metric float() would block 8x)
             metrics = jax.device_get(metrics)
             _warn_nonfinite(metrics, epoch, global_step)
-            # weight by the number of unique samples so per-epoch means are
-            # per-sample means (duplicated pad rows excluded like the val path)
+            # weight by the number of unique samples so per-epoch means
+            # approximate per-sample means (the padded step's own batch-mean
+            # still includes its duplicate rows — see the tail note above)
             w = float(np.asarray(jax.device_get(batch["valid"])).sum())
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)

@@ -60,9 +60,13 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def restore_pytree(path: str, target: Any) -> Any:
+    """Accepts either the save_pytree stem ('.../best') or the actual
+    on-disk filename ('.../best.msgpack') — users naturally pass the file
+    they can see."""
     from flax import serialization
 
-    with open(path + ".msgpack", "rb") as f:
+    file = path if path.endswith(".msgpack") else path + ".msgpack"
+    with open(file, "rb") as f:
         data = f.read()
     restored = serialization.from_bytes(target, data)
     return restored

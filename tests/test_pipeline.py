@@ -128,6 +128,19 @@ class TestCheckpointRoundtrip:
         base = os.path.join(results_dir, "dwi", "fold_0", "checkpoints", "last")
         assert os.path.isdir(base) or os.path.exists(base + ".msgpack")
 
+    def test_restore_accepts_explicit_msgpack_suffix(self, single_results):
+        """Regression: users pass the filename they can see on disk
+        ('best.msgpack'), not the save stem ('best')."""
+        import jax
+        from dmf_tpu.utils.checkpoint import load_checkpoint
+
+        results_dir, out = single_results
+        state = jax.device_get(out["dwi"]["state"])
+        path = os.path.join(results_dir, "dwi", "fold_0", "checkpoints",
+                            "best.msgpack")
+        restored = load_checkpoint(path, state)
+        assert restored.params is not None
+
     def test_rolling_saver_roundtrip(self, tiny_cfg, single_results, tmp_path):
         import jax
         from dmf_tpu.utils.checkpoint import RollingSaver, load_checkpoint

@@ -54,18 +54,9 @@ def ref_mm():
     return model_module
 
 
-def _randomize(module, seed=0):
-    g = torch.Generator().manual_seed(seed)
-    with torch.no_grad():
-        for p in module.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
-        for b in module.buffers():
-            if b.dtype.is_floating_point:
-                b.copy_(0.5 + torch.rand(b.shape, generator=g))
-
-
-def t_in(x_nhwc):
-    return torch.tensor(np.asarray(x_nhwc)).permute(0, 3, 1, 2).contiguous()
+# shared torch-oracle helpers (same randomizer/NHWC converter as the
+# importer tests — keep ONE definition so tolerances can't drift)
+from tests.test_importers import _randomize, t_in  # noqa: E402
 
 
 def assert_close(ours, ref_t, name, rtol=2e-4, atol=2e-5):
