@@ -173,6 +173,25 @@ class _Importer:
         self.norm(p["GroupNorm_0"], key + ".mask_processor.1")
         self.conv(p["Conv_1"], key + ".mask_processor.3")
 
+    def transformer_stage(self, p: dict, key: str) -> None:
+        """Hybrid TransformerStage (transformer_model.py:137-175): PatchEmbed
+        conv+LN, then pre-LN blocks with packed qkv and LayerScale."""
+        self.conv(p["patch_embed"], key + ".patch_embed.proj")
+        self.norm(p["patch_norm"], key + ".patch_embed.norm")
+        i = 0
+        while f"block{i}" in p:
+            b = p[f"block{i}"]
+            base = f"{key}.transformer.layers.{i}"
+            self.norm(b["LayerNorm_0"], base + ".norm1")
+            self.dense(b["attn"]["qkv"], base + ".attn.qkv")
+            self.dense(b["attn"]["proj"], base + ".attn.proj")
+            self.norm(b["LayerNorm_1"], base + ".norm2")
+            self.dense(b["mlp"]["Dense_0"], base + ".mlp.fc1")
+            self.dense(b["mlp"]["Dense_1"], base + ".mlp.fc2")
+            b["gamma1"] = self.take(base + ".gamma1").copy()
+            b["gamma2"] = self.take(base + ".gamma2").copy()
+            i += 1
+
     def cross_attention(self, p: dict, key: str) -> None:
         C = p["q_proj"]["kernel"].shape[0]
         w = self.take(key + ".cross_attn.in_proj_weight")  # (3C, C)
@@ -249,10 +268,8 @@ def import_reference_encoder(
         if proj in params:
             imp.projector(params[proj], stats[proj], proj)
     if "transformer" in params:
-        raise NotImplementedError(
-            "hybrid-transformer checkpoint import not supported yet "
-            "(transformer_model.py weights); disable use_hybrid_transformer"
-        )
+        imp.transformer_stage(params["transformer"], "transformer")
+        imp.conv(params["trans_out_proj"], "trans_out_proj")
     imp.dense(params["classification_head"]["Dense_0"],
               "classification_head.fc")
 

@@ -123,6 +123,43 @@ class TestEncoderImport:
             assert_close(aux["proj_pairs"][i], t_aux["proj_pairs"][i],
                          f"proj{i}")
 
+    def test_hybrid_transformer_encoder_roundtrip(self, ref_mm):
+        """use_hybrid_transformer=True: block3 replaced by the hybrid
+        TransformerStage (packed qkv, LayerScale) + trans_out_proj."""
+        cfg = tiny_cfg()
+        mc = dataclasses.replace(
+            cfg.dwi_model, use_hybrid_transformer=True,
+            transformer_embed_dim=16, transformer_depth=2,
+            transformer_heads=4, transformer_patch_size=2,
+        )
+        cfg = cfg.replace(dwi_model=mc)
+        refd = to_reference_dict(cfg)
+        ref_model = ref_mm.ModelMaskHeadBackbone("dwi", refd, backbone=None)
+        _randomize(ref_model, seed=13)
+        ref_model.eval()
+
+        B, S, C = 2, 32, cfg.dwi_channel_num
+        rng = np.random.RandomState(4)
+        x = rng.rand(B, S, S, C).astype(np.float32)
+        with torch.no_grad():
+            t_logits, t_aux, t_mask = ref_model(t_in(x))
+
+        model = Encoder(method="dwi", config=cfg.dwi_model, channel_num=C,
+                        num_classes=cfg.class_num)
+        template = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(x), train=False,
+        )
+        variables = import_reference_encoder(ref_model.state_dict(), template)
+        variables = jax.tree.map(jnp.asarray, variables)
+        logits, aux, mask_pred = model.apply(variables, jnp.asarray(x),
+                                             train=False)
+        assert_close(logits, t_logits, "hybrid logits")
+        assert_close(mask_pred, t_mask, "hybrid mask")
+        for i in range(3):
+            assert_close(aux["raw_feats"][i], t_aux["raw_feats"][i], f"f{i+1}")
+
     def test_backboned_encoder_roundtrip(self, ref_mm):
         """Full path: fake-timm ResNet50 backbone + adapter necks + blend
         scalars/norms, against the reference's own BackboneAdapter."""
