@@ -20,6 +20,7 @@ from .aux import (
 )
 from .selectors import (get_classification_loss_fn, get_mask_loss_fn,
                         get_recon_loss_fn)
+from .weighting import make_weighted_reduce
 
 __all__ = [
     "compute_class_weights",
@@ -43,4 +44,5 @@ __all__ = [
     "get_classification_loss_fn",
     "get_mask_loss_fn",
     "get_recon_loss_fn",
+    "make_weighted_reduce",
 ]

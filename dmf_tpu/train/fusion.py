@@ -30,9 +30,11 @@ from ..config import Config
 from ..losses import (
     compute_recon_list_loss,
     label_smoothing,
+    make_weighted_reduce,
     mimic_feat_loss,
     safe_mask_loss,
 )
+from ..models.layers import bn_sample_weight
 from .optim import (
     GroupSpec,
     GroupedHyperParams,
@@ -125,27 +127,32 @@ def compute_fusion_losses(
     labels,
     aux_w,
     is_train: bool,
+    valid=None,
 ):
+    """``valid``: optional (B,) 0/1 mask for exact padded-tail semantics
+    under a mesh (see losses/weighting.py); None = unweighted path."""
     fp = cfg.fusion_model
     metrics: Dict[str, jnp.ndarray] = {}
+    reduce_ = make_weighted_reduce(valid)
 
     if is_train and fp.label_smoothing_enabled:
         targets = label_smoothing(labels, cfg.class_num, fp.label_smoothing_alpha)
     else:
         targets = labels
-    cls_loss = clf_loss_fn(logits, targets)
+    cls_loss = reduce_(clf_loss_fn, logits, targets)
     loss = cls_loss
     metrics["clf_loss"] = cls_loss
 
     if fp.mask.enabled and masks is not None:
-        mask_loss = (
-            safe_mask_loss(parts["dwi_mask"], masks, mask_loss_fn,
-                           cfg.reference_compat)
-            + safe_mask_loss(parts["dce_mask"], masks, mask_loss_fn,
-                             cfg.reference_compat)
-            + safe_mask_loss(fused_mask, masks, mask_loss_fn,
-                             cfg.reference_compat)
-        ) / 3.0
+        def _mask3(dm, cm, fm, gt):
+            return (
+                safe_mask_loss(dm, gt, mask_loss_fn, cfg.reference_compat)
+                + safe_mask_loss(cm, gt, mask_loss_fn, cfg.reference_compat)
+                + safe_mask_loss(fm, gt, mask_loss_fn, cfg.reference_compat)
+            ) / 3.0
+
+        mask_loss = reduce_(_mask3, parts["dwi_mask"], parts["dce_mask"],
+                            fused_mask, masks)
         if is_train:
             loss = loss + fp.mask.lambda_mask * mask_loss
         metrics["mask_loss"] = mask_loss
@@ -160,16 +167,32 @@ def compute_fusion_losses(
         dwi_in = jax.lax.stop_gradient(dwi_x)
         dce_in = jax.lax.stop_gradient(dce_x)
         fused_in = jnp.concatenate([dwi_in, dce_in], axis=-1)
-        recon_val = (
-            compute_recon_list_loss(parts["dwi_aux"]["recon_feats"], dwi_in)
-            + compute_recon_list_loss(parts["dce_aux"]["recon_feats"], dce_in)
-            + compute_recon_list_loss(aux["recon_fused"], fused_in)
-        ) / 3.0
+
+        def _recon3(d_rf, c_rf, f_rf, dx, cx, fx):
+            return (
+                compute_recon_list_loss(d_rf, dx)
+                + compute_recon_list_loss(c_rf, cx)
+                + compute_recon_list_loss(f_rf, fx)
+            ) / 3.0
+
+        recon_val = reduce_(
+            _recon3, parts["dwi_aux"]["recon_feats"],
+            parts["dce_aux"]["recon_feats"], aux["recon_fused"],
+            dwi_in, dce_in, fused_in,
+        )
         loss = loss + fp.lambda_recon * recon_val * aux_w
 
         if fp.mimic_enabled and aux.get("proj_fused") is not None:
             if cfg.reference_compat:
+                # sample-PAIR term (rows 0-3) — not per-sample separable.
+                # Padding appends duplicates at the tail, so rows 0-3 are
+                # genuine exactly when >= 4 rows are valid; the reference's
+                # short-batch value is 0 below 4 rows (train_fusion.py:291-296)
                 mimic_val = fusion_sample_pair_mimic(aux["proj_fused"])
+                if valid is not None:
+                    mimic_val = jnp.where(
+                        valid.astype(jnp.float32).sum() >= 4.0, mimic_val, 0.0
+                    )
             else:
                 mimic_val = jnp.zeros(())
             loss = loss + fp.lambda_mimic * mimic_val * aux_w
@@ -177,7 +200,12 @@ def compute_fusion_losses(
     metrics["mimic_loss"] = mimic_val
 
     preds = jnp.argmax(logits, axis=-1)
-    metrics["acc"] = (preds == labels).mean()
+    correct = (preds == labels).astype(jnp.float32)
+    if valid is None:
+        metrics["acc"] = correct.mean()
+    else:
+        v = valid.astype(jnp.float32)
+        metrics["acc"] = (correct * v).sum() / jnp.maximum(v.sum(), 1.0)
     metrics["loss"] = loss
     return loss, metrics
 
@@ -203,14 +231,16 @@ def make_fusion_train_step(
             m: {"params": params[m], "batch_stats": batch_stats[m]}
             for m in ("dwi", "dce", "fusion")
         }
-        logits, fused_mask, aux, parts, new_bs = apply_fn(
-            variables, batch["dwi"], batch["dce"], train=True,
-            rngs={"dropout": rng}, mutable=True,
-        )
+        valid = batch.get("valid")  # (B,) 0/1 under a mesh (padded tail)
+        with bn_sample_weight(valid):
+            logits, fused_mask, aux, parts, new_bs = apply_fn(
+                variables, batch["dwi"], batch["dce"], train=True,
+                rngs={"dropout": rng}, mutable=True,
+            )
         loss, metrics = compute_fusion_losses(
             cfg, clf_loss_fn, mask_loss_fn, logits, fused_mask, aux, parts,
             batch["dwi"], batch["dce"], batch.get("masks"), batch["labels"],
-            batch["aux_w"], is_train=True,
+            batch["aux_w"], is_train=True, valid=valid,
         )
         return loss, (new_bs, metrics)
 

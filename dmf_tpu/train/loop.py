@@ -206,11 +206,12 @@ def fit_single(
         # drop_last=False semantics: the short batch's loss mean and BN
         # statistics cover each tail sample exactly once.  Under a mesh the
         # tail is instead padded up to the next multiple of the data axis
-        # (sharding requires it), and the < n_data duplicated rows DO enter
-        # that one step's loss mean, gradient, BN stats, and step metrics —
-        # a bounded, once-per-epoch re-weighting that exact parity would
-        # need per-sample loss weighting to remove; the single-device path
-        # has no such divergence.
+        # (sharding requires it) and the step receives the per-sample
+        # ``valid`` mask: loss/metric reductions and train-mode BN moments
+        # are validity-weighted (losses/weighting.py, layers.py
+        # bn_sample_weight), so the duplicated rows drop out exactly —
+        # parity with the single-device short-batch step is tested at
+        # tests/test_spmd_loop.py (TestTailBatchSemantics).
         train_meters: Dict[str, MeanMetric] = {}
         for batch in iterate_batches(
             train_ds, cfg.batch_size, shuffle=True, rng=np_rng,
@@ -230,6 +231,8 @@ def fit_single(
                 "labels": batch["labels"].astype(jnp.int32),
                 "aux_w": jnp.asarray(aux_w, jnp.float32),
             }
+            if n_data > 1:  # padded-tail mask (exact semantics, see above)
+                proc["valid"] = batch["valid"].astype(jnp.float32)
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
             if cfg.debug_training and global_step == 1:
@@ -241,9 +244,9 @@ def fit_single(
             # one transfer per step (per-metric float() would block 8x)
             metrics = jax.device_get(metrics)
             _warn_nonfinite(metrics, epoch, global_step)
-            # weight by the number of unique samples so per-epoch means
-            # approximate per-sample means (the padded step's own batch-mean
-            # still includes its duplicate rows — see the tail note above)
+            # weight by the number of unique samples: step metrics are
+            # means over valid rows (padded duplicates already excluded),
+            # so the epoch meter is the exact per-sample mean
             w = float(np.asarray(jax.device_get(batch["valid"])).sum())
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
@@ -443,6 +446,8 @@ def fit_fusion(
                 "labels": batch["labels"].astype(jnp.int32),
                 "aux_w": jnp.asarray(aux_w, jnp.float32),
             }
+            if n_data > 1:  # padded-tail mask (exact semantics, fit_single)
+                proc["valid"] = batch["valid"].astype(jnp.float32)
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
             if cfg.debug_training and global_step == 1:

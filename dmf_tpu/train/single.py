@@ -31,9 +31,11 @@ from ..losses import (
     compute_feat_norm_loss,
     compute_feature_consistency_loss,
     label_smoothing,
+    make_weighted_reduce,
     mimic_feat_loss,
     single_model_recon_loss,
 )
+from ..models.layers import bn_sample_weight
 from .optim import (
     GroupSpec,
     GroupedHyperParams,
@@ -58,33 +60,40 @@ def compute_single_losses(
     labels,
     aux_w,
     is_train: bool,
+    valid=None,
 ):
-    """Total loss + per-term metrics for one batch (train.py:294-428)."""
+    """Total loss + per-term metrics for one batch (train.py:294-428).
+
+    ``valid``: optional (B,) 0/1 mask; when given, every reduction becomes a
+    validity-weighted per-sample mean so padded duplicate rows (the mesh
+    tail, loop.py) drop out exactly — ``None`` keeps the bit-identical
+    unweighted path."""
     mc = cfg.model_config(method)
     metrics: Dict[str, jnp.ndarray] = {}
+    reduce_ = make_weighted_reduce(valid)
 
     if is_train and mc.label_smoothing_enabled:
         targets = label_smoothing(labels, cfg.class_num, mc.label_smoothing_alpha)
     else:
         targets = labels
-    clf_loss = clf_loss_fn(logits, targets)
+    clf_loss = reduce_(clf_loss_fn, logits, targets)
     loss = clf_loss
     metrics["clf_loss"] = clf_loss
 
     if mc.attn_reg_enabled:
-        attn_e = compute_attn_energy_loss(aux)
-        feat_c = compute_feature_consistency_loss(aux)
+        attn_e = reduce_(lambda a: compute_attn_energy_loss(a), aux)
+        feat_c = reduce_(lambda a: compute_feature_consistency_loss(a), aux)
         if is_train:
             loss = loss + attn_e * mc.lambda_attn_energy + feat_c * mc.lambda_feature_consistency
         metrics["attn_energy_loss"] = attn_e
     if mc.feat_norm_reg_enabled:
-        feat_n = compute_feat_norm_loss(aux)
+        feat_n = reduce_(lambda a: compute_feat_norm_loss(a), aux)
         if is_train:
             loss = loss + feat_n * mc.lambda_feat_norm
         metrics["feat_norm_loss"] = feat_n
 
     if mc.mask.enabled and mask_pred is not None and masks is not None:
-        mask_loss = mask_loss_fn(mask_pred, masks)
+        mask_loss = reduce_(mask_loss_fn, mask_pred, masks)
         if is_train:
             loss = loss + mc.mask.lambda_mask * mask_loss
         metrics["mask_loss"] = mask_loss
@@ -94,11 +103,12 @@ def compute_single_losses(
     recon_metric = jnp.zeros(())
     mimic_metric = jnp.zeros(())
     if mc.recon_enabled:
-        recon_raw = single_model_recon_loss(aux["recon_feats"], inputs)
+        recon_raw = reduce_(single_model_recon_loss, aux["recon_feats"], inputs)
         mimic_raw = jnp.zeros(())
         if mc.mimic_enabled and aux.get("proj_pairs") is not None:
             p1, p1_r, p2, p2_r = aux["proj_pairs"][:4]
-            mimic_raw = mimic_feat_loss(p1, p1_r) + mimic_feat_loss(p2, p2_r)
+            mimic_raw = (reduce_(mimic_feat_loss, p1, p1_r)
+                         + reduce_(mimic_feat_loss, p2, p2_r))
         if is_train:
             if cfg.reference_compat:
                 # double lambda*aux_w application (train.py:397-400 + 462-464)
@@ -121,7 +131,12 @@ def compute_single_losses(
     metrics["mimic_loss"] = mimic_metric
 
     preds = jnp.argmax(logits, axis=-1)
-    metrics["acc"] = (preds == labels).mean()
+    correct = (preds == labels).astype(jnp.float32)
+    if valid is None:
+        metrics["acc"] = correct.mean()
+    else:
+        v = valid.astype(jnp.float32)
+        metrics["acc"] = (correct * v).sum() / jnp.maximum(v.sum(), 1.0)
     metrics["loss"] = loss
     return loss, metrics
 
@@ -147,18 +162,20 @@ def make_single_train_step(
     use_clip = (not cfg.reference_compat) and mc.grad_clip and mc.grad_clip > 0
 
     def loss_fn(params, batch_stats, batch, rng):
-        (logits, aux, mask_pred), mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["imgs"],
-            train=True,
-            rngs={"dropout": rng},
-            mutable=["batch_stats"],
-        )
+        valid = batch.get("valid")  # (B,) 0/1 under a mesh (padded tail)
+        with bn_sample_weight(valid):
+            (logits, aux, mask_pred), mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["imgs"],
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
         loss, metrics = compute_single_losses(
             cfg, method, clf_loss_fn, mask_loss_fn,
             logits, aux, mask_pred,
             batch["imgs"], batch.get("masks"), batch["labels"],
-            batch["aux_w"], is_train=True,
+            batch["aux_w"], is_train=True, valid=valid,
         )
         return loss, (mutated["batch_stats"], metrics)
 

@@ -159,6 +159,36 @@ class TestFitFusionSPMD:
                     str(tmp_path_factory.mktemp("bad")), mesh=mesh, epochs=1)
 
 
+class TestShardedServing:
+    """The production inference entry point serves SPMD (VERDICT r2 #5)."""
+
+    def test_fusion_test_path_sharded_matches_unsharded(self):
+        from dmf_tpu.pipeline.run_fusion import test_fusion_model
+
+        cfg = tiny_cfg()
+        models, state, data = build_fusion(cfg, n=28, seed=2)
+        host = jax.device_get(state)
+        test_data = {k: v[16:] for k, v in data.items() if k != "masks"}
+
+        plain = test_fusion_model(cfg, *models, host, test_data, seed=0)
+        mesh = make_mesh(4, 2, devices=jax.devices())
+        sharded = test_fusion_model(cfg, *models, host, test_data, seed=0,
+                                    mesh=mesh)
+
+        np.testing.assert_allclose(sharded["probs"], plain["probs"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(sharded["labels"], plain["labels"])
+        np.testing.assert_allclose(
+            sharded["modality_attention"], plain["modality_attention"],
+            rtol=1e-4, atol=1e-6,
+        )
+        for k, v in plain["metrics"].items():
+            if k == "test_time_sec":
+                continue
+            np.testing.assert_allclose(sharded["metrics"][k], v, rtol=1e-4,
+                                       err_msg=k)
+
+
 class TestTailBatchSemantics:
     """The reference's DataLoader(drop_last=False) short-batch semantics
     (VERDICT round-1 item #5)."""
@@ -232,6 +262,105 @@ class TestTailBatchSemantics:
                         jax.tree.leaves(s_ref.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+    def _padded_vs_short_setup(self):
+        """Fusion step fixtures for exact padded-tail parity (dropout 0 so
+        the only possible divergence is the padding itself)."""
+        from dmf_tpu.losses import get_mask_loss_fn, soft_weighted_focal_loss
+        from dmf_tpu.train.fusion import (
+            build_fusion_group_spec,
+            make_fusion_train_step,
+        )
+        from dmf_tpu.train.optim import FusionOptController
+
+        cfg = tiny_cfg()
+        mc = dataclasses.replace(cfg.dwi_model, dropout=0.0)
+        fmc = dataclasses.replace(cfg.fusion_model, dropout=0.0)
+        cfg = cfg.replace(dwi_model=mc, dce_model=mc, fusion_model=fmc)
+        models, state, data = build_fusion(cfg, n=8, seed=3)
+        clf = lambda lo, t: soft_weighted_focal_loss(lo, t, 1.5, None)
+        spec = build_fusion_group_spec(state.params, cfg)
+        step = make_fusion_train_step(
+            cfg, *models, clf, get_mask_loss_fn(cfg, "fusion"), spec,
+            donate=False, jit_compile=False,
+        )
+        hp = FusionOptController(cfg).hyperparams()
+        rng = jax.random.PRNGKey(11)
+
+        def make_batch(sl, pad_to=None, with_valid=False):
+            idx = np.arange(*sl)
+            n_valid = len(idx)
+            if pad_to is not None:
+                idx = np.concatenate([idx, idx[: pad_to - n_valid]])
+            b = {
+                "dwi": jnp.asarray(data["dwi"][idx]),
+                "dce": jnp.asarray(data["dce"][idx]),
+                "masks": jnp.asarray(data["masks"][idx]),
+                "labels": jnp.asarray(data["labels"][idx], jnp.int32),
+                "aux_w": jnp.asarray(1.0, jnp.float32),
+            }
+            if with_valid:
+                b["valid"] = jnp.asarray(
+                    (np.arange(len(idx)) < n_valid).astype(np.float32)
+                )
+            return b
+
+        return cfg, state, step, hp, rng, make_batch
+
+    def _assert_step_equal(self, out_a, out_b, rtol=1e-5):
+        (s_a, m_a), (s_b, m_b) = out_a, out_b
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=rtol)
+        np.testing.assert_allclose(float(m_a["acc"]), float(m_b["acc"]),
+                                   rtol=rtol)
+        np.testing.assert_allclose(float(m_a["grad_norm"]),
+                                   float(m_b["grad_norm"]), rtol=1e-4)
+        # params: the weighted per-sample reduction reorders float sums, so
+        # gradients carry ~1e-7 noise; Adam normalizes near-zero gradients
+        # to O(lr)=1e-4-scale updates, so zero-init leaves (LayerScale/gamma)
+        # can differ by ~1e-5 after one step — bound by the update scale,
+        # not machine eps (same rationale as test_final_params_match)
+        for x, y in zip(jax.tree.leaves(jax.device_get(s_a.params)),
+                        jax.tree.leaves(jax.device_get(s_b.params))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=5e-5)
+        # BN running stats have no Adam amplification: tight
+        for x, y in zip(jax.tree.leaves(jax.device_get(s_a.batch_stats)),
+                        jax.tree.leaves(jax.device_get(s_b.batch_stats))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_padded_valid_equals_short_batch(self):
+        """Padded batch + valid mask == exact short-batch step: loss,
+        params, AND BN running stats (weighted moments, layers.py)."""
+        cfg, state, step, hp, rng, make_batch = self._padded_vs_short_setup()
+        short = jax.jit(step)(state, make_batch((0, 6)), rng, hp)
+        padded = jax.jit(step)(
+            state, make_batch((0, 6), pad_to=8, with_valid=True), rng, hp
+        )
+        self._assert_step_equal(padded, short)
+
+    def test_padded_valid_equals_short_batch_under_mesh(self):
+        """Same parity with the padded step running SPMD on the 4x2 mesh
+        (VERDICT r2 #6: tail exactness is now mesh-exact, not just
+        single-device)."""
+        from dmf_tpu.parallel import (
+            batch_sharding,
+            make_spmd_step,
+            shard_state,
+            state_shardings,
+        )
+
+        cfg, state, step, hp, rng, make_batch = self._padded_vs_short_setup()
+        short = jax.jit(step)(state, make_batch((0, 6)), rng, hp)
+
+        mesh = make_mesh(4, 2, devices=jax.devices())
+        state_sh = state_shardings(state, mesh)
+        sharded_state = shard_state(state, mesh)
+        jitted, place = make_spmd_step(step, mesh, state_sh, donate=False)
+        batch = place(make_batch((0, 6), pad_to=8, with_valid=True))
+        mesh_out = jitted(sharded_state, batch, rng, hp)
+        self._assert_step_equal(mesh_out, short, rtol=1e-4)
 
     def test_frozen_group_moments_untouched(self):
         """torch skips no-grad params entirely: freezing a group after it
