@@ -242,7 +242,8 @@ def import_reference_encoder(
     if "backbone_adapter" in params:
         _import_adapter_necks(imp, params["backbone_adapter"],
                               stats["backbone_adapter"])
-        _import_backbone(imp, params["backbone"], stats["backbone"],
+        # ViT backbones carry no BN stats, so the template may lack the slot
+        _import_backbone(imp, params["backbone"], stats.get("backbone", {}),
                          backbone_in_channels)
         for scalar in ("f2_weight", "f3_weight"):
             if scalar in params:
@@ -289,8 +290,15 @@ def _import_backbone(imp: _Importer, p: dict, s: dict,
                      in_channels: Optional[int]) -> None:
     """The timm backbone: in our Encoder it's the top-level ``backbone``
     child; in the reference ckpt the shared module appears under
-    'backbone.' and/or 'backbone_adapter.backbone.' (model_module.py:539-546)."""
-    from .backbones.importers import import_resnet50
+    'backbone.' and/or 'backbone_adapter.backbone.' (model_module.py:539-546).
+
+    Dispatches on the checkpoint's own layout: ``patch_embed.proj.weight``
+    marks a ViT/DINO backbone (foundation_model.py:371-431), otherwise a
+    ResNet stem is expected.  ViT geometry (depth, patch size, grid) is read
+    off the TEMPLATE so the checkpoint's 224-grid position embedding is
+    resized to whatever the target model was built with
+    (foundation_model.py:321-369's img_size=256 override)."""
+    from .backbones.importers import import_resnet50, import_vit_base
 
     sub = {}
     # torch._dynamo.disable wraps the encoder-level backbone, adding an
@@ -305,6 +313,21 @@ def _import_backbone(imp: _Importer, p: dict, s: dict,
             break
     if not sub:
         raise KeyError("no backbone tensors in checkpoint")
+
+    if "patch_embed.proj.weight" in sub:  # ViT/DINO (token backbone)
+        depth = len([k for k in p if k.startswith("block")])
+        ph, pw, t_in, _ = np.asarray(p["patch_embed"]["kernel"]).shape
+        assert ph == pw, "non-square patch embed in template"
+        grid = int(np.sqrt(np.asarray(p["pos_embed"]).shape[1] - 1))
+        want_in = in_channels if in_channels is not None else t_in
+        bp, _ = import_vit_base(
+            sub, in_channels=want_in, img_size=grid * ph, patch_size=ph,
+            depth=depth,
+        )
+        _splice(p, bp, "backbone params")
+        if s:
+            raise ValueError("template has BN stats for a ViT backbone")
+        return
 
     stem = "conv1.weight" if "conv1.weight" in sub else "conv1.0.weight"
     want_in = (in_channels if in_channels is not None

@@ -217,6 +217,70 @@ class TestEncoderImport:
                          f"f{i+1}", rtol=5e-4)
 
 
+    def test_vit_backboned_encoder_roundtrip(self, ref_mm):
+        """ViT/DINO-backboned migration: fake-timm ViT-B token backbone +
+        token-reshape adapter (model_module.py:457-467), chains
+        [0-2]/[3-6]/[7-11] (foundation_model.py:527-531), against the
+        reference's own BackboneAdapter."""
+        from tests.test_importers import TimmViT
+
+        cfg = default_parameters()
+        mc = dataclasses.replace(
+            resolve_backbone_config(dataclasses.replace(
+                cfg.dwi_model, backbone_str="vit_base_patch16_224")),
+            input_size=128,
+            # post-resolve shrink: necks/blocks at (768,768,768) add nothing
+            # to migration coverage — the ViT itself stays genuine B/16
+            channels=(16, 16, 32),
+        )
+        cfg = cfg.replace(dwi_model=mc)
+        C = cfg.dwi_channel_num
+
+        class FeatureInfo:
+            def channels(self):
+                return [768] * 12
+
+            def reduction(self):
+                return [16] * 12
+
+        class FakeTimmViT(TimmViT):
+            feature_info = FeatureInfo()
+
+        backbone = FakeTimmViT(in_ch=C, img=128, depth=12)
+        refd = to_reference_dict(cfg)
+        ref_model = ref_mm.ModelMaskHeadBackbone("dwi", refd,
+                                                 backbone=backbone)
+        _randomize(ref_model, seed=9)
+        ref_model.eval()
+
+        B, S = 1, 128
+        rng = np.random.RandomState(6)
+        x = rng.rand(B, S, S, C).astype(np.float32)
+        with torch.no_grad():
+            t_logits, t_aux, t_mask = ref_model(t_in(x))
+
+        from dmf_tpu.models.backbones import vit_base_patch16
+
+        model = Encoder(method="dwi", config=cfg.dwi_model, channel_num=C,
+                        num_classes=cfg.class_num,
+                        backbone=vit_base_patch16(C, img_size=128))
+        template = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(x), train=False,
+        )
+        variables = import_reference_encoder(ref_model.state_dict(), template)
+        variables = jax.tree.map(jnp.asarray, variables)
+
+        logits, aux, mask_pred = model.apply(variables, jnp.asarray(x),
+                                             train=False)
+        assert_close(logits, t_logits, "vit logits", rtol=5e-4)
+        assert_close(mask_pred, t_mask, "vit mask_pred", rtol=5e-4)
+        for i in range(3):
+            assert_close(aux["raw_feats"][i], t_aux["raw_feats"][i],
+                         f"f{i+1}", rtol=5e-4)
+
+
 class TestFusionImport:
     def test_fusion_roundtrip(self, ref_mm):
         cfg = tiny_cfg()
