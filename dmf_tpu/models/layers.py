@@ -154,6 +154,12 @@ class SEBlock(nn.Module):
     Reference: model_module.py:25-47 (reduction=2; also aliased as
     TemporalAttention / ChannelAttention modality attention over the raw
     input channels, model_module.py:584-591).
+
+    ``fused=True`` (serving only — callers pass it when no gradient will
+    flow) dispatches to the single-pass Pallas kernel
+    (ops/se_pallas.py): one HBM read + one write of the feature map
+    instead of XLA's pool-read + scale-read + write.  The XLA path stays
+    the differentiable/init/CPU route.
     """
 
     channels: int
@@ -161,8 +167,17 @@ class SEBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x, fused: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mid = max(self.channels // self.reduction, 1)
+        if (fused and not self.is_initializing() and x.ndim == 4
+                and jax.default_backend() == "tpu"):
+            from ..ops.se_pallas import fits_vmem, se_scale
+
+            if fits_vmem(x.shape, x.dtype):
+                p0 = self.get_variable("params", "Dense_0")
+                p1 = self.get_variable("params", "Dense_1")
+                return se_scale(x, p0["kernel"], p0["bias"],
+                                p1["kernel"], p1["bias"])
         w = global_avg_pool(x)  # (B, C)
         w = nn.Dense(mid, dtype=self.dtype, kernel_init=conv_kernel_init)(w)
         w = nn.gelu(w, approximate=False)
@@ -327,8 +342,10 @@ class ResLiteBlock(nn.Module):
         out = nn.Dropout(self.dropout, deterministic=drop_off)(out)
 
         if self.use_se:
+            # fused single-pass SE on the serving path (no gradient flows
+            # through eval/mc forwards; training keeps the XLA route)
             out, _ = SEBlock(self.out_ch, self.se_reduction, self.dtype,
-                             name="se")(out)
+                             name="se")(out, fused=not train)
 
         recon = None
         if self.recon_ch > 0:
