@@ -2,9 +2,12 @@
 
 TPU-native re-implementations of the reference preprocessing
 (dataset.py:9-53, preprocess_helpers.py:27-167, prepare_single_model.py:311-343).
-All hot paths are expressible as one fused XLA program over batched volumes;
-``dmf_tpu.ops.preprocess_pallas`` provides a hand-fused Pallas variant of the
-DWI normalizer for the inference fast path.
+All hot paths are expressible as one fused XLA program over batched volumes —
+measured within noise of HBM speed-of-light at the serving geometry, so these
+XLA kernels ARE the production path.  (``dmf_tpu.ops.preprocess_pallas`` is a
+documented-experimental Pallas study of the same normalizer: it doesn't fit
+VMEM at serving geometry and is kept only as a reduction-pattern reference —
+see its module docstring for the measurements.)
 """
 
 from __future__ import annotations
