@@ -156,10 +156,15 @@ class SEBlock(nn.Module):
     input channels, model_module.py:584-591).
 
     ``fused=True`` (serving only — callers pass it when no gradient will
-    flow) dispatches to the single-pass Pallas kernel
+    flow) requests the single-pass Pallas kernel
     (ops/se_pallas.py): one HBM read + one write of the feature map
     instead of XLA's pool-read + scale-read + write.  The XLA path stays
-    the differentiable/init/CPU route.
+    the differentiable/init/CPU route.  The dispatch additionally requires
+    the measured-win gate ``se_pallas.enabled()`` (env ``DMF_FUSED_SE=1``):
+    the first-cut kernel REGRESSED end-to-end serving on the v5e
+    (per-sample grid overhead; see ops/se_pallas.py docstring), so fused
+    stays opt-in until the on-chip microbench (scripts/bench_se.py) proves
+    the batch-tiled rewrite wins at the flagship geometries.
     """
 
     channels: int
@@ -171,9 +176,9 @@ class SEBlock(nn.Module):
         mid = max(self.channels // self.reduction, 1)
         if (fused and not self.is_initializing() and x.ndim == 4
                 and jax.default_backend() == "tpu"):
-            from ..ops.se_pallas import fits_vmem, se_scale
+            from ..ops.se_pallas import enabled, fits_vmem, se_scale
 
-            if fits_vmem(x.shape, x.dtype):
+            if enabled() and fits_vmem(x.shape, x.dtype):
                 p0 = self.get_variable("params", "Dense_0")
                 p1 = self.get_variable("params", "Dense_1")
                 return se_scale(x, p0["kernel"], p0["bias"],
@@ -342,8 +347,9 @@ class ResLiteBlock(nn.Module):
         out = nn.Dropout(self.dropout, deterministic=drop_off)(out)
 
         if self.use_se:
-            # fused single-pass SE on the serving path (no gradient flows
-            # through eval/mc forwards; training keeps the XLA route)
+            # request the fused single-pass SE on the serving path (no
+            # gradient flows through eval/mc forwards; training keeps the
+            # XLA route; actual dispatch is behind the measured-win gate)
             out, _ = SEBlock(self.out_ch, self.se_reduction, self.dtype,
                              name="se")(out, fused=not train)
 

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from dmf_tpu.models.layers import SEBlock
-from dmf_tpu.ops.se_pallas import fits_vmem, se_scale
+from dmf_tpu.ops.se_pallas import _batch_tile, enabled, fits_vmem, se_scale
 
 
 @pytest.fixture
@@ -68,9 +68,29 @@ class TestSEKernelParity:
         b, _ = model.apply(variables, x, fused=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_measured_win_gate_defaults_off(self, monkeypatch):
+        """Fused dispatch is opt-in (DMF_FUSED_SE=1) until the on-chip
+        microbench proves a win — the first-cut kernel regressed serving."""
+        monkeypatch.delenv("DMF_FUSED_SE", raising=False)
+        assert not enabled()
+        monkeypatch.setenv("DMF_FUSED_SE", "1")
+        assert enabled()
+        monkeypatch.setenv("DMF_FUSED_SE", "0")
+        assert not enabled()
+
+    def test_batch_tile_divisor(self):
+        """Grid tiles are the largest divisor of B that fits the VMEM
+        budget — never a remainder-producing tile."""
+        mb = 1024 * 1024
+        assert _batch_tile(128, 512 * 1024) == 8   # 4 MB budget / 512 KB
+        assert _batch_tile(10, mb) == 2            # 4 fits but 10 % 4 != 0
+        assert _batch_tile(6, 32 * 1024) == 6      # whole batch in one tile
+        assert _batch_tile(3, 8 * mb) == 1         # over budget -> 1/sample
+
     def test_fused_under_vmap_interpret(self, se_setup):
-        """The MC predictor vmaps the per-pass forward; the kernel must
-        batch correctly under jax.vmap (leading grid dim)."""
+        """The MC predictor vmaps the per-pass forward; the custom_vmap
+        rule folds the mapped axis into the kernel batch (no sequential
+        grid axis) and must match per-slice evaluation."""
         model, variables, x = se_setup
         p0 = variables["params"]["Dense_0"]
         p1 = variables["params"]["Dense_1"]
