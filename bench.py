@@ -111,6 +111,10 @@ def main() -> None:
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "tta", "mc", "tta_mc"])
     parser.add_argument("--no-preprocess", action="store_true")
+    parser.add_argument("--mc-chunk", type=int, default=None,
+                        help="run MC passes in sequential chunks of this "
+                             "size (bounds activation memory; exact same "
+                             "ensemble, see evals/predict.py::_mc_map)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the timed "
                              "loop into DIR (view with tensorboard)")
@@ -126,9 +130,22 @@ def main() -> None:
                         help="tiny geometry for CPU smoke runs")
     args = parser.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # Honor JAX_PLATFORMS even under plugins that force-register themselves
+    # ignoring the env var (the axon TPU plugin) — same re-assert the CLI
+    # does, so `JAX_PLATFORMS=cpu python bench.py --quick` really runs on
+    # CPU instead of probing a (possibly unreachable) TPU tunnel.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; keep whatever it picked
 
     if args.quick:
         args.batch, args.steps, args.image_size = 8, 3, 64
@@ -256,7 +273,8 @@ def main() -> None:
 
         predictor = make_fusion_predictor(cfg, dwi, dce, fusion,
                                           mode=args.mode,
-                                          fwd_override=quant_fwd)
+                                          fwd_override=quant_fwd,
+                                          mc_chunk=args.mc_chunk)
         key = jax.random.PRNGKey(0)
 
         def infer(variables, dwi_raw, dce_raw):

@@ -18,6 +18,7 @@ Semantics parity:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -42,21 +43,67 @@ def _std(x, axis):
     return jnp.std(x, axis=axis, ddof=1)
 
 
+def _dropout_key(r):
+    """Optionally re-wrap an MC dropout key onto the ``rbg`` PRNG.
+
+    threefry2x32 mask generation is pure VPU work repeated per dropout site
+    per pass; ``rbg`` rides the TPU hardware bit generator instead
+    (split/fold_in stay threefry on the key data, so flax's ``make_rng``
+    path is unchanged).  Opt-in via ``DMF_MC_RBG=1`` pending an on-chip
+    measured win — the MC ensemble stays a correct dropout ensemble either
+    way (a PRNG impl is not a semantic), and the same key remains fully
+    deterministic.
+    """
+    if os.environ.get("DMF_MC_RBG", "0") != "1":
+        return r
+    kd = (jax.random.key_data(r)
+          if jnp.issubdtype(r.dtype, jax.dtypes.prng_key)
+          else r).astype(jnp.uint32)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([kd, kd]), impl="rbg")
+
+
+def _mc_map(lean_pass: Callable, rngs: jnp.ndarray,
+            chunk: Optional[int]) -> jnp.ndarray:
+    """vmap ``lean_pass`` over the MC rng axis, optionally in chunks.
+
+    The plain ``vmap`` fuses all P passes into one giant batch through the
+    suffix — peak activation memory scales with P, which is what OOMs
+    tta_mc at B>=64 (README perf table).  ``chunk=k`` runs ceil(P/k)
+    sequential steps of k fused passes each (``lax.map`` of an inner
+    ``vmap``): identical outputs, ~P/k times less live activation memory.
+    ``None``/``>=P`` keeps the single-vmap behavior.
+    """
+    P = rngs.shape[0]
+    if chunk is None or chunk >= P:
+        return jax.vmap(lean_pass)(rngs)
+    chunk = max(1, chunk)
+    n_full = (P // chunk) * chunk
+    main = rngs[:n_full].reshape(P // chunk, chunk, *rngs.shape[1:])
+    out = jax.lax.map(lambda r: jax.vmap(lean_pass)(r), main)
+    out = out.reshape(n_full, *out.shape[2:])
+    if n_full < P:
+        out = jnp.concatenate([out, jax.vmap(lean_pass)(rngs[n_full:])])
+    return out
+
+
 def make_single_predictor(
     cfg: Config,
     model,
     mode: Optional[str] = None,
     mc_passes: Optional[int] = None,
+    mc_chunk: Optional[int] = None,
 ) -> Callable:
     """Build a jitted ``predict(variables, imgs, rng) -> (mean, std, aux)``.
 
-    Dispatch mirrors ``predict_custom`` (train.py:608-631).
+    Dispatch mirrors ``predict_custom`` (train.py:608-631).  ``mc_chunk``
+    bounds MC-pass activation memory (see ``_mc_map``).
     """
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
 
     def fwd(variables, x, train=False, mc=False, rng=None, prefix=None):
-        rngs = {"dropout": rng} if rng is not None else None
+        rngs = {"dropout": _dropout_key(rng)} if rng is not None else None
         return model.apply(variables, x, train=train, mc=mc, rngs=rngs,
                            prefix=prefix)
 
@@ -93,7 +140,7 @@ def make_single_predictor(
                 logits, _, _ = fwd(variables, xt, mc=True, rng=r, prefix=pre)
                 return jax.nn.softmax(logits, axis=-1)
 
-            probs_head = jax.vmap(lean_pass)(rngs[:-1])
+            probs_head = _mc_map(lean_pass, rngs[:-1], mc_chunk)
             logits_last, aux, _ = fwd(variables, xt, mc=True, rng=rngs[-1],
                                       prefix=pre)
             probs = jnp.concatenate(
@@ -114,6 +161,7 @@ def make_fusion_predictor(
     mode: Optional[str] = None,
     mc_passes: Optional[int] = None,
     fwd_override: Optional[Callable] = None,
+    mc_chunk: Optional[int] = None,
 ) -> Callable:
     """Fusion inference: both encoders + fusion per pass, fully vectorized.
 
@@ -134,7 +182,7 @@ def make_fusion_predictor(
 
     def default_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng,
                     prefixes=None):
-        rngs = {"dropout": rng} if rng is not None else None
+        rngs = {"dropout": _dropout_key(rng)} if rng is not None else None
         pre_d, pre_c = prefixes if prefixes is not None else (None, None)
         _, dwi_aux, dwi_mask = dwi_model.apply(
             dwi_vars, dwi_x, train=False, mc=mc, rngs=rngs, prefix=pre_d
@@ -208,7 +256,7 @@ def make_fusion_predictor(
                 logits, _ = full_pass(r)
                 return jax.nn.softmax(logits, axis=-1)
 
-            probs_head = jax.vmap(lean_pass)(rngs[:-1])
+            probs_head = _mc_map(lean_pass, rngs[:-1], mc_chunk)
             logits_last, aux = full_pass(rngs[-1])
             probs = jnp.concatenate(
                 [probs_head, jax.nn.softmax(logits_last, axis=-1)[None]]

@@ -128,6 +128,74 @@ class TestFusionPredictor:
         assert aux["gating_weights"].shape[-1] == 2
 
 
+class TestMCChunking:
+    """``mc_chunk`` trades vmap width for sequential lax.map steps to bound
+    MC activation memory (the B>=64 tta_mc OOM); outputs must be EXACTLY
+    the unchunked ensemble (same rng splits, same pass order)."""
+
+    @pytest.mark.parametrize("chunk", [1, 2, 4, 16])
+    def test_chunked_equals_unchunked_single(self, encoder_setup, chunk):
+        cfg, model, variables, x = encoder_setup
+        key = jax.random.PRNGKey(13)
+        base = make_single_predictor(cfg, model, mode="tta_mc", mc_passes=6)
+        chunked = make_single_predictor(cfg, model, mode="tta_mc",
+                                        mc_passes=6, mc_chunk=chunk)
+        m0, s0, _ = base(variables, x, key)
+        m1, s1, _ = chunked(variables, x, key)
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_chunked_equals_unchunked_fusion(self):
+        cfg = tiny_cfg()
+        dwi = Encoder(method="dwi", config=cfg.dwi_model, channel_num=5,
+                      num_classes=4)
+        dce = Encoder(method="dce", config=cfg.dce_model, channel_num=6,
+                      num_classes=4)
+        fusion = FusionModel(config=cfg.fusion_model, num_classes=4)
+        xd = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 5))
+        xc = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 6))
+        k = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        dwi_vars = dwi.init(k, xd, train=False)
+        dce_vars = dce.init(k, xc, train=False)
+        _, dwi_aux, dwi_m = dwi.apply(dwi_vars, xd, train=False)
+        _, dce_aux, dce_m = dce.apply(dce_vars, xc, train=False)
+        fusion_vars = fusion.init(
+            k, dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_m, dce_m,
+            train=False,
+        )
+        key = jax.random.PRNGKey(21)
+        base = make_fusion_predictor(cfg, dwi, dce, fusion, mode="mc",
+                                     mc_passes=5)
+        chunked = make_fusion_predictor(cfg, dwi, dce, fusion, mode="mc",
+                                        mc_passes=5, mc_chunk=3)
+        m0, s0, _ = base(dwi_vars, dce_vars, fusion_vars, xd, xc, key)
+        m1, s1, _ = chunked(dwi_vars, dce_vars, fusion_vars, xd, xc, key)
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-7)
+
+
+class TestRbgDropoutKeys:
+    """DMF_MC_RBG=1 re-wraps per-pass dropout keys onto the hardware-bit-
+    generator PRNG: still a deterministic, varying MC ensemble."""
+
+    def test_rbg_deterministic_and_stochastic(self, encoder_setup,
+                                              monkeypatch):
+        cfg, model, variables, x = encoder_setup
+        monkeypatch.setenv("DMF_MC_RBG", "1")
+        pred = make_single_predictor(cfg, model, mode="mc", mc_passes=4)
+        m1, s1, _ = pred(variables, x, jax.random.PRNGKey(0))
+        m2, _, _ = pred(variables, x, jax.random.PRNGKey(0))
+        m3, _, _ = pred(variables, x, jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        assert not np.allclose(np.asarray(m1), np.asarray(m3))
+        assert float(np.asarray(s1).mean()) > 1e-6
+        assert np.allclose(np.asarray(m1).sum(-1), 1.0, atol=1e-5)
+
+
 class TestPrefixHoistEquivalence:
     """The mc/tta_mc predictors hoist the deterministic encoder prefix
     (modality SE + backbone adapter) out of the per-pass vmap; results must
