@@ -44,6 +44,10 @@ def _add_common(p):
                    help="SPMD device mesh, e.g. '8' (8-way data parallel) "
                         "or '4x2' (4-way data, 2-way tensor parallel); "
                         "training shards the state and batches over it")
+    p.add_argument("--mc-chunk", type=int, default=None,
+                   help="run the MC uncertainty passes in sequential chunks "
+                        "of this size (same ensemble, bounds activation "
+                        "memory; evals/predict.py::_mc_map)")
 
 
 def load_config(args):
@@ -61,6 +65,8 @@ def load_config(args):
         updates["reference_compat"] = False
     if args.debug_nans:
         updates["debug_anomaly"] = True
+    if getattr(args, "mc_chunk", None):
+        updates["mc_chunk"] = args.mc_chunk
     if getattr(args, "mesh", None):
         part = args.mesh.lower().split("x")
         n_data = int(part[0])

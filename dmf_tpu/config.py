@@ -238,6 +238,10 @@ class Config:
 
     test_mode: str = "tta_mc"  # 'normal' | 'tta' | 'mc' | 'tta_mc'
     mc_passes: int = 10
+    # run the MC pass axis in sequential chunks of this many fused passes
+    # (evals/predict.py::_mc_map): identical ensemble, ~passes/chunk times
+    # less live activation memory.  None = single vmap over all passes.
+    mc_chunk: Optional[int] = None
 
     backbone_freeze_on_start: bool = True
     backbone_num_groups: int = 3

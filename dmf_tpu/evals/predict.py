@@ -97,10 +97,13 @@ def make_single_predictor(
     """Build a jitted ``predict(variables, imgs, rng) -> (mean, std, aux)``.
 
     Dispatch mirrors ``predict_custom`` (train.py:608-631).  ``mc_chunk``
-    bounds MC-pass activation memory (see ``_mc_map``).
+    bounds MC-pass activation memory (see ``_mc_map``); defaults to
+    ``cfg.mc_chunk``.
     """
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
+    if mc_chunk is None:
+        mc_chunk = getattr(cfg, "mc_chunk", None)
 
     def fwd(variables, x, train=False, mc=False, rng=None, prefix=None):
         rngs = {"dropout": _dropout_key(rng)} if rng is not None else None
@@ -172,13 +175,16 @@ def make_fusion_predictor(
     ``fwd_override`` swaps the per-pass forward (same signature as the
     internal ``fusion_fwd``) — used by the int8 serving path
     (ops/quant.py::make_quantized_fusion_fwd) to run quantized
-    uncertainty inference.
+    uncertainty inference.  ``mc_chunk`` defaults to ``cfg.mc_chunk``
+    (see ``_mc_map``).
 
     Returns ``predict(dwi_vars, dce_vars, fusion_vars, dwi_imgs, dce_imgs,
     rng) -> (mean_probs, std_probs, aux)``.
     """
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
+    if mc_chunk is None:
+        mc_chunk = getattr(cfg, "mc_chunk", None)
 
     def default_fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng,
                     prefixes=None):

@@ -147,6 +147,21 @@ class TestMCChunking:
         np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
                                    rtol=1e-5, atol=1e-7)
 
+    def test_cfg_mc_chunk_default_flows_to_predictor(self, encoder_setup):
+        """cfg.mc_chunk is the production default (CLI --mc-chunk); an
+        explicit maker argument overrides it."""
+        cfg, model, variables, x = encoder_setup
+        key = jax.random.PRNGKey(17)
+        base = make_single_predictor(cfg, model, mode="mc", mc_passes=5)
+        via_cfg = make_single_predictor(cfg.replace(mc_chunk=2), model,
+                                        mode="mc", mc_passes=5)
+        m0, s0, _ = base(variables, x, key)
+        m1, s1, _ = via_cfg(variables, x, key)
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_chunked_equals_unchunked_fusion(self):
         cfg = tiny_cfg()
         dwi = Encoder(method="dwi", config=cfg.dwi_model, channel_num=5,
