@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import sys
 import time
@@ -72,11 +73,14 @@ def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
     for _ in range(args.warmup):
         state, metrics = compiled(state, batch, key, hp)
     jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = compiled(state, batch, key, hp)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    trace_ctx = (jax.profiler.trace(args.profile) if args.profile
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = compiled(state, batch, key, hp)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
     steps_per_sec = args.steps / dt
     result = {
         "metric": "fusion_training_throughput",
@@ -304,8 +308,6 @@ def main() -> None:
 
     for _ in range(args.warmup):
         jax.block_until_ready(jfn(variables, dwi_raw, dce_raw))
-
-    import contextlib
 
     trace_ctx = (jax.profiler.trace(args.profile) if args.profile
                  else contextlib.nullcontext())
