@@ -188,6 +188,27 @@ class TestShardedServing:
             np.testing.assert_allclose(sharded["metrics"][k], v, rtol=1e-4,
                                        err_msg=k)
 
+    def test_sharded_serving_with_mc_chunk_matches(self):
+        """cfg.mc_chunk (lax.map of vmapped pass chunks) composes with the
+        sharded serving path: GSPMD propagates the batch sharding through
+        the sequential chunk loop and the ensemble is unchanged."""
+        from dmf_tpu.pipeline.run_fusion import test_fusion_model
+
+        cfg = tiny_cfg()
+        models, state, data = build_fusion(cfg, n=28, seed=2)
+        host = jax.device_get(state)
+        test_data = {k: v[16:] for k, v in data.items() if k != "masks"}
+
+        plain = test_fusion_model(cfg, *models, host, test_data, seed=0)
+        mesh = make_mesh(4, 2, devices=jax.devices())
+        chunked = test_fusion_model(cfg.replace(mc_chunk=2), *models, host,
+                                    test_data, seed=0, mesh=mesh)
+        np.testing.assert_allclose(chunked["probs"], plain["probs"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            chunked["metrics"]["test_uncertainty_mean"],
+            plain["metrics"]["test_uncertainty_mean"], rtol=1e-4)
+
 
 class TestTailBatchSemantics:
     """The reference's DataLoader(drop_last=False) short-batch semantics
