@@ -343,6 +343,33 @@ class ResLiteBlock(nn.Module):
                           kernel_init=conv_kernel_init)(out)
             out = BatchNorm(self.dtype)(out, train)
 
+        # Serving fast path (gate DMF_FUSED_EPILOGUE=1): the whole epilogue
+        # — residual add + GELU + (MC) dropout + SE — as ONE Pallas kernel:
+        # 2 reads + 1 write of the feature map vs XLA's 3R+2W (the SE pool
+        # co-fuses with the preceding elementwise, so fusing the SE alone
+        # is a traffic wash; measured breakdown in ops/epilogue_pallas.py).
+        # Params come from the same SEBlock child, so checkpoints/structure
+        # are identical; no gradient flows through eval/mc forwards.
+        if self.use_se and not train and not self.is_initializing():
+            from ..ops import epilogue_pallas as ep
+
+            if (jax.default_backend() == "tpu" and ep.enabled()
+                    and out.ndim == 4 and ep.fits_vmem(out.shape, out.dtype)):
+                drop = float(self.dropout) if (mc and self.dropout > 0) else 0.0
+                rng = self.make_rng("dropout") if drop > 0 else None
+                se_p = self.get_variable("params", "se")
+                out = ep.se_epilogue(
+                    out, identity,
+                    se_p["Dense_0"]["kernel"], se_p["Dense_0"]["bias"],
+                    se_p["Dense_1"]["kernel"], se_p["Dense_1"]["bias"],
+                    drop_rate=drop, rng=rng)
+                if self.recon_ch > 0:
+                    recon = ReconHead(self.out_ch, self.recon_ch,
+                                      dtype=self.dtype,
+                                      name="reconstruct")(out, train)
+                    return out, recon
+                return out, None
+
         out = nn.gelu(out + identity, approximate=False)
         out = nn.Dropout(self.dropout, deterministic=drop_off)(out)
 

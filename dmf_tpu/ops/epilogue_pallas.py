@@ -1,0 +1,197 @@
+"""Fused ResLite-block epilogue Pallas kernel: residual+GELU+dropout+SE.
+
+WHY (measured, scripts/analyze_profile.py on the tta_mc trace): the serving
+suffix is 81% memory-bound — 28.8% of device time is the SE pools' reduce
+fusions and 52.6% elementwise fusions, vs only 16.6% convolution.  XLA
+already co-fuses each SE's global-average pool INTO the preceding
+elementwise op (the profiled ``convert_reduce_fusion`` both rewrites the
+dropout-applied map and emits the pool), so replacing the SE alone cannot
+reduce traffic: XLA's [gelu+residual(+dropout) fusion -> pool co-fusion ->
+scale multiply] moves 3 reads + 2 writes of the feature map, and an
+SE-only kernel still needs its input materialized (2R+2W — the measured
+wash/regression of ops/se_pallas.py in context).  Fusing the WHOLE
+epilogue — ``out = SE(dropout(gelu(x + identity)))``, the tail of every
+ResLiteBlock (models/layers.py; reference model_module.py:220-316) — reads
+``x`` and ``identity`` once and writes the scaled map once: 2R + 1W,
+a 40% traffic cut for the segment.
+
+Dropout uses the TPU hardware PRNG (``pltpu.prng_seed`` /
+``prng_random_bits``) seeded per grid tile: the same (seed, shape, tiling)
+is exactly reproducible, distinct tiles and MC passes draw independent
+bits.  The mask distribution matches flax's ``Dropout`` (keep with
+probability 1-p, scale kept values by 1/(1-p)); the realized mask pattern
+differs from threefry, which changes no ensemble semantics (any iid mask
+per pass is a correct MC-dropout sample).  ``drop_rate=0`` (plain serving)
+skips mask generation entirely and is bit-comparable to the XLA route.
+
+Forward/serving only — training keeps the differentiable XLA path.  The
+MC-pass axis folds into the kernel batch via ``jax.custom_batching``
+exactly like ops/se_pallas.py.  Dispatch gate: ``DMF_FUSED_EPILOGUE=1``
+(measured-win pending, same policy as DMF_FUSED_SE).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .se_pallas import _batch_tile, _erf, _VMEM_KERNEL_LIMIT
+
+# x + identity both resident per tile (plus out): tighter budget than the
+# single-input SE kernel
+_VMEM_BLOCK_LIMIT = 2 * 1024 * 1024
+
+
+def enabled() -> bool:
+    """Measured-win gate (policy: see ops/se_pallas.py::enabled)."""
+    return os.environ.get("DMF_FUSED_EPILOGUE", "0") == "1"
+
+
+def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
+    b, h, w, c = shape
+    return (c % 128 == 0
+            and h * w * c * jnp.dtype(dtype).itemsize <= _VMEM_BLOCK_LIMIT)
+
+
+def _epilogue_kernel(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     out_ref, *, n_pix: int, drop_rate: float):
+    x = x_ref[...]  # (bt, H, W, C)
+    bt, H, W, C = x.shape
+    y32 = x.astype(jnp.float32) + id_ref[...].astype(jnp.float32)
+    y32 = 0.5 * y32 * (1.0 + _erf(y32 * 0.7071067811865476))  # exact GELU
+    y = y32.astype(x.dtype)
+    if drop_rate > 0.0:
+        # per-tile stream: same (seed, grid) is reproducible, tiles and
+        # folded MC passes draw independent bits
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        bits = pltpu.prng_random_bits((bt, H, W, C))  # int32
+        # keep with prob 1-p: u < (1-p) * 2^32 over the uint32 stream
+        # (bitcast — prng_random_bits returns signed int32).  Oriented so
+        # the interpreter's zero-stubbed bits (tests) mean keep-everything,
+        # i.e. interpret-mode output == undropped/(1-p) exactly.
+        ubits = pltpu.bitcast(bits, jnp.uint32)
+        keep_thresh = jnp.uint32(
+            min(int((1.0 - drop_rate) * (1 << 32)), (1 << 32) - 1))
+        keep = (ubits < keep_thresh).astype(x.dtype)
+        y = y * keep * jnp.asarray(1.0 / (1.0 - drop_rate), x.dtype)
+    flat = y.reshape(bt, n_pix, C)
+    pool = (flat.astype(jnp.float32).sum(axis=1)
+            / float(n_pix)).astype(x.dtype)  # (bt, C)
+    h = jnp.dot(pool, w1_ref[...], preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = (0.5 * h * (1.0 + _erf(h * 0.7071067811865476))).astype(x.dtype)
+    s = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    s = jax.nn.sigmoid(s + b2_ref[...].astype(jnp.float32))  # (bt, C) fp32
+    out_ref[...] = (flat.astype(jnp.float32) * s[:, None, :]
+                    ).reshape(bt, H, W, C).astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("drop_rate", "interpret"))
+def _epilogue_pallas(seed, x, identity, w1, b1, w2, b2,
+                     drop_rate: float = 0.0, interpret: bool = False):
+    B, H, W, C = x.shape
+    mid = w1.shape[1]
+    per_sample = H * W * C * jnp.dtype(x.dtype).itemsize
+    bt = _batch_tile(B, per_sample)
+    map_spec = pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_epilogue_kernel, n_pix=H * W,
+                          drop_rate=drop_rate),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
+            map_spec,  # x
+            map_spec,  # identity
+            pl.BlockSpec((C, mid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mid, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=map_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # PRNG stream is stateful
+            vmem_limit_bytes=_VMEM_KERNEL_LIMIT,
+        ),
+        # the TPU-semantics interpreter (plain interpret=True lacks the TPU
+        # PRNG primitives on CPU)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, x, identity, w1, b1, w2, b2)
+
+
+def _make_epilogue_fn(drop_rate: float, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def fn(seed, x, identity, w1, b1, w2, b2):
+        return _epilogue_pallas(seed, x, identity, w1, b1, w2, b2,
+                                drop_rate=drop_rate, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, seed, x, identity, w1, b1, w2, b2):
+        s_b, x_b, id_b, *w_b = in_batched
+        if not (x_b and id_b) or any(w_b):
+            args = tuple(
+                a if bb else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, bb in zip((seed, x, identity, w1, b1, w2, b2),
+                                 in_batched)
+            )
+            return jax.lax.map(lambda t: fn(*t), args), True
+        P = axis_size
+        B, H, W, C = x.shape[1:]
+        # fold the MC-pass axis into the batch; fold the per-pass seeds into
+        # one tile-salted stream (distinct passes already occupy distinct
+        # tiles of the folded batch, and the grid index salts the stream)
+        seed0 = (seed.reshape(P, -1)[:, 0].sum().astype(jnp.int32)
+                 if s_b else seed)
+        out = fn(seed0.reshape(1) if seed0.ndim == 0 else seed0[:1],
+                 x.reshape(P * B, H, W, C), identity.reshape(P * B, H, W, C),
+                 w1, b1, w2, b2)
+        return out.reshape(P, B, H, W, C), True
+
+    return fn
+
+
+_FNS = {}
+
+
+def se_epilogue(x: jnp.ndarray, identity: jnp.ndarray,
+                w1: jnp.ndarray, b1: jnp.ndarray,
+                w2: jnp.ndarray, b2: jnp.ndarray,
+                drop_rate: float = 0.0,
+                rng: Optional[jax.Array] = None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused ``SE(dropout(gelu(x + identity)))`` (serving path).
+
+    ``x``/``identity``: (B, H, W, C); ``w1``: (C, mid); ``w2``: (mid, C).
+    ``drop_rate>0`` requires ``rng`` (a JAX PRNG key — reduced to the
+    hardware-PRNG seed).  Returns the scaled map only (ResLiteBlock
+    discards the SE weight output; models/layers.py).
+    """
+    B, H, W, C = x.shape
+    mid = w1.shape[1]
+    if drop_rate > 0.0:
+        if rng is None:
+            raise ValueError("drop_rate > 0 requires rng")
+        kd = (jax.random.key_data(rng)
+              if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng)
+        seed = kd.reshape(-1)[-1:].astype(jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    key = (round(float(drop_rate), 8), bool(interpret))
+    if key not in _FNS:
+        _FNS[key] = _make_epilogue_fn(*key)
+    return _FNS[key](
+        seed, x, identity.astype(x.dtype),
+        w1.astype(x.dtype), b1.reshape(1, mid).astype(x.dtype),
+        w2.astype(x.dtype), b2.reshape(1, C).astype(x.dtype))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from dmf_tpu.models.layers import SEBlock  # noqa: E402
+from dmf_tpu.ops.epilogue_pallas import se_epilogue  # noqa: E402
 from dmf_tpu.ops.se_pallas import se_scale  # noqa: E402
 
 
@@ -72,6 +73,49 @@ def main():
               f"{tv_x * 1e3:>14.2f} {tv_f * 1e3:>16.2f}", flush=True)
     print("* xla GB/s uses the fused-path byte count (2 passes) for an"
           " apples-to-apples effective rate; XLA actually moves ~2x that.")
+
+    # Whole-epilogue comparison: out = SE(dropout(gelu(x + identity))) as
+    # XLA ops vs the fused kernel (ops/epilogue_pallas.py) — the in-context
+    # segment (XLA co-fuses the SE pool upstream; SE-alone is a wash)
+    print(f"\nepilogue (residual+GELU+dropout+SE), B={B} {H}x{W}:")
+    print(f"{'C':>4} {'mode':>8} {'xla us':>9} {'fused us':>9} "
+          f"{'vmap39 xla ms':>14} {'vmap39 fused ms':>16}")
+    for C in (128, 256, 512):
+        model = SEBlock(channels=C, reduction=2, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (B, H, W, C), jnp.bfloat16)
+        idn = jax.random.normal(jax.random.PRNGKey(7), x.shape, jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        p0 = variables["params"]["Dense_0"]
+        p1 = variables["params"]["Dense_1"]
+
+        for mode, drop in (("eval", 0.0), ("mc", 0.4)):
+            def xla_chain(t, i, r):
+                y = jax.nn.gelu(t + i, approximate=False)
+                if drop > 0:
+                    keep = jax.random.bernoulli(r, 1.0 - drop, y.shape)
+                    y = jnp.where(keep, y / (1.0 - drop), 0.0).astype(y.dtype)
+                return model.apply(variables, y)[0]
+
+            def fused_chain(t, i, r):
+                return se_epilogue(t, i, p0["kernel"], p0["bias"],
+                                   p1["kernel"], p1["bias"],
+                                   drop_rate=drop, rng=r if drop else None)
+
+            r = jax.random.PRNGKey(1)
+            t_x = timeit(jax.jit(xla_chain), x, idn, r)
+            t_f = timeit(jax.jit(fused_chain), x, idn, r)
+
+            if drop > 0:  # rng-free eval vmap would be hoistable by XLA
+                rs = jax.random.split(jax.random.PRNGKey(2), P)
+                vx = jax.jit(jax.vmap(lambda rr: xla_chain(x, idn, rr)))
+                vf = jax.jit(jax.vmap(lambda rr: fused_chain(x, idn, rr)))
+                tv_x, tv_f = timeit(vx, rs, iters=10), timeit(vf, rs, iters=10)
+                vcols = f"{tv_x * 1e3:>14.2f} {tv_f * 1e3:>16.2f}"
+            else:
+                vcols = f"{'-':>14} {'-':>16}"
+            print(f"{C:>4} {mode:>8} {t_x * 1e6:>9.1f} {t_f * 1e6:>9.1f} "
+                  f"{vcols}", flush=True)
 
 
 if __name__ == "__main__":

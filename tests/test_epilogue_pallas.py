@@ -1,0 +1,126 @@
+"""Fused ResLite epilogue kernel (residual+GELU+dropout+SE) parity tests.
+
+Runs the kernel under Pallas's TPU-semantics interpreter on CPU.  The
+interpreter stubs ``prng_random_bits`` to zeros; the kernel's keep-mask is
+oriented so stubbed bits mean keep-everything, making the dropout branch
+exactly ``undropped/(1-p)`` here — real mask statistics are a TPU-side
+measurement (scripts/bench_se.py chain).  See ops/epilogue_pallas.py for
+the measured motivation (XLA co-fuses SE pools upstream, so only the whole
+epilogue saves HBM traffic).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmf_tpu.ops.epilogue_pallas import enabled, fits_vmem, se_epilogue
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.RandomState(0)
+    B, H, W, C, mid = 4, 8, 8, 128, 64
+    return dict(
+        x=jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)),
+        idn=jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)),
+        w1=jnp.asarray(rng.randn(C, mid).astype(np.float32)) * 0.05,
+        b1=jnp.asarray(rng.randn(mid).astype(np.float32)) * 0.01,
+        w2=jnp.asarray(rng.randn(mid, C).astype(np.float32)) * 0.05,
+        b2=jnp.asarray(rng.randn(C).astype(np.float32)) * 0.01,
+    )
+
+
+def xla_ref(s, drop_scale=1.0):
+    y = jax.nn.gelu(s["x"] + s["idn"], approximate=False) * drop_scale
+    pool = y.mean(axis=(1, 2))
+    h = jax.nn.gelu(pool @ s["w1"] + s["b1"], approximate=False)
+    scale = jax.nn.sigmoid(h @ s["w2"] + s["b2"])
+    return y * scale[:, None, None, :]
+
+
+class TestEpilogueKernel:
+    def test_matches_xla_chain_fp32(self, setup):
+        out = se_epilogue(setup["x"], setup["idn"], setup["w1"], setup["b1"],
+                          setup["w2"], setup["b2"], interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xla_ref(setup)),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_matches_xla_chain_bf16(self, setup):
+        s16 = {k: v.astype(jnp.bfloat16) for k, v in setup.items()}
+        out = se_epilogue(s16["x"], s16["idn"], s16["w1"], s16["b1"],
+                          s16["w2"], s16["b2"], interpret=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32),
+            np.asarray(xla_ref(setup), np.float32), rtol=3e-2, atol=5e-3)
+
+    def test_dropout_branch_interpret_stub(self, setup):
+        """Stubbed bits => keep-all => exactly undropped/(1-p); pins the
+        mask orientation, the 1/(1-p) scaling, and that the pool/SE see the
+        POST-dropout map (flax order: Dropout then SEBlock)."""
+        p = 0.4
+        out = se_epilogue(setup["x"], setup["idn"], setup["w1"], setup["b1"],
+                          setup["w2"], setup["b2"], drop_rate=p,
+                          rng=jax.random.PRNGKey(3), interpret=True)
+        ref = xla_ref(setup, drop_scale=1.0 / (1.0 - p))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_dropout_requires_rng(self, setup):
+        with pytest.raises(ValueError, match="requires rng"):
+            se_epilogue(setup["x"], setup["idn"], setup["w1"], setup["b1"],
+                        setup["w2"], setup["b2"], drop_rate=0.3,
+                        interpret=True)
+
+    def test_vmap_folds_pass_axis(self, setup):
+        xs = jnp.stack([setup["x"], setup["x"] * 0.5])
+        ids = jnp.stack([setup["idn"], setup["idn"]])
+
+        def one(xi, ii):
+            return se_epilogue(xi, ii, setup["w1"], setup["b1"],
+                               setup["w2"], setup["b2"], interpret=True)
+
+        batched = jax.vmap(one)(xs, ids)
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(batched[i]), np.asarray(one(xs[i], ids[i])),
+                rtol=2e-5, atol=2e-6)
+
+    def test_vmap_with_per_pass_rngs_runs_deterministically(self, setup):
+        """The MC predictor shape: vmap over dropout keys (batched seeds
+        fold into one tile-salted stream)."""
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+
+        def one(k):
+            return se_epilogue(setup["x"], setup["idn"], setup["w1"],
+                               setup["b1"], setup["w2"], setup["b2"],
+                               drop_rate=0.3, rng=k, interpret=True)
+
+        a = jax.vmap(one)(keys)
+        b = jax.vmap(one)(keys)
+        assert a.shape == (3,) + setup["x"].shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gate_and_vmem(self):
+        assert not enabled()  # default off until the on-chip measured win
+        assert fits_vmem((8, 32, 32, 512), jnp.bfloat16)
+        assert not fits_vmem((8, 32, 32, 514), jnp.bfloat16)  # lane-misaligned
+
+
+class TestModelDispatch:
+    def test_cpu_serving_ignores_gate(self, monkeypatch):
+        """DMF_FUSED_EPILOGUE=1 must be a silent no-op off-TPU."""
+        from dmf_tpu.models.layers import ResLiteBlock
+
+        block = ResLiteBlock(in_ch=16, out_ch=32, use_se=True, recon_ch=1,
+                             dropout=0.3)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16),
+                        jnp.float32)
+        k = {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}
+        variables = block.init(k, x, train=False)
+        a, _ = block.apply(variables, x, train=False)
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE", "1")
+        b, _ = block.apply(variables, x, train=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
