@@ -28,6 +28,10 @@ Forward/serving only — training keeps the differentiable XLA path.  The
 MC-pass axis folds into the kernel batch via ``jax.custom_batching``
 exactly like ops/se_pallas.py.  Dispatch gate: ``DMF_FUSED_EPILOGUE=1``
 (measured-win pending, same policy as DMF_FUSED_SE).
+
+Single-device serving only: a Pallas custom call does not auto-partition
+under GSPMD, so the sharded (mesh) serving path keeps the XLA route — wrap
+in ``shard_map`` before enabling the gate on a sharded predictor.
 """
 
 from __future__ import annotations

@@ -27,6 +27,10 @@ vol/s and TTA x MC 87->70 — per-step overhead swamped the saved traffic):
   (P, B, H, W, C) -> (P*B, H, W, C) and re-enters the kernel with the
   bigger batch: same bytes, bt-sample tiles, no extra grid axis.
 
+Single-device serving only: a Pallas custom call does not auto-partition
+under GSPMD, so the sharded (mesh) serving path keeps the XLA route — wrap
+in ``shard_map`` before enabling the gate on a sharded predictor.
+
 Numerics: pool accumulates in fp32 and is cast back to the compute dtype
 before the MLP (mirroring ``global_avg_pool`` + ``nn.Dense(dtype=...)``),
 matmuls accumulate fp32 on the MXU, sigmoid/GELU in fp32.  Forward-only by
