@@ -140,7 +140,7 @@ class TestTPSharding:
 
 class TestCollectives:
     def test_psum_over_mesh(self):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(8, 1)
         x = jnp.arange(8.0)
