@@ -8,6 +8,12 @@ from .mesh import (
     mesh_from_config,
     replicated,
 )
+from .multifold import (
+    index_fold_state,
+    make_multifold_step,
+    stack_fold_batches,
+    stack_fold_states,
+)
 from .sharding import (
     make_spmd_step,
     param_spec,
@@ -24,6 +30,10 @@ __all__ = [
     "make_mesh",
     "mesh_from_config",
     "replicated",
+    "index_fold_state",
+    "make_multifold_step",
+    "stack_fold_batches",
+    "stack_fold_states",
     "make_spmd_step",
     "param_spec",
     "shard_state",

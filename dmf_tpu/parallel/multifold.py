@@ -1,0 +1,85 @@
+"""Fold-parallel training: the K-fold CV loop as ONE vmapped program.
+
+The reference trains its 5 stratified folds strictly sequentially — the
+outer product loop in run.py:59-76 re-enters ``Trainer.fit`` per fold.  On
+TPU the fold axis is embarrassingly parallel and, at the reference's anchor
+batch of 32, a single fold leaves the MXU underfed; ``jax.vmap`` over a
+stacked fold axis turns K optimizer states + K batches into one program
+whose convolutions run at K x the arithmetic intensity.  Semantics are
+EXACTLY K independent runs (per-fold dropout rngs, per-fold BN stats,
+per-fold Adam moments; pinned by tests/test_multifold.py against
+sequential execution).
+
+Composes with SPMD via ``shard_map`` (pass ``mesh=``): each data-axis
+device group trains K/n_data folds locally — folds never communicate, so
+the body needs no collectives and the GSPMD partitioner is bypassed
+entirely.  (Bypassed deliberately: auto-partitioning the vmapped train
+step by input shardings CHECK-crashes XLA:CPU's SPMD partitioner in
+jax 0.9 — shard_map is also simply the right tool for an embarrassingly
+parallel axis.)
+
+Usage::
+
+    raw = make_single_train_step(cfg, m, model, clf, mask_fn, spec,
+                                 jit_compile=False)
+    step = make_multifold_step(raw)
+    stacked = stack_fold_states([state_f0, state_f1, ...])
+    stacked, metrics = step(stacked, stacked_batch, fold_rngs, hp)
+    # metrics leaves have a leading (K,) fold axis
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+
+def stack_fold_states(states: Sequence):
+    """Stack per-fold TrainStates leaf-wise into one (K, ...) state."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+
+def index_fold_state(stacked, i: int):
+    """Extract fold ``i``'s TrainState from a stacked state (for
+    checkpointing / per-fold eval)."""
+    return jax.tree.map(lambda leaf: leaf[i], stacked)
+
+
+def stack_fold_batches(batches: Sequence[dict]) -> dict:
+    """Stack per-fold batch dicts (same shapes across folds — pad ragged
+    fold tails with the existing ``valid``-mask machinery first)."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *batches)
+
+
+def make_multifold_step(raw_step: Callable, donate: bool = True,
+                        mesh: Optional[Mesh] = None) -> Callable:
+    """vmap an UNJITTED train step over the leading fold axis.
+
+    ``raw_step``: ``(state, batch, rng, hp) -> (state, metrics)`` from
+    ``make_single_train_step(..., jit_compile=False)`` or
+    ``make_fusion_train_step(..., jit_compile=False)``.  Hyperparams are
+    shared across folds (the reference runs the same schedule per fold);
+    state/batch/rng carry the (K, ...) fold axis.
+
+    With ``mesh``, the fold axis is split over the mesh's data axis via
+    ``shard_map`` (K must be divisible by the data-axis size); each device
+    group steps its folds independently — zero collectives.
+    """
+    vstep = jax.vmap(raw_step, in_axes=(0, 0, 0, None))
+    if mesh is not None:
+        fold, rep = P(DATA_AXIS), P()
+        sharded = jax.shard_map(
+            vstep, mesh=mesh,
+            # pytree-prefix specs: every state/batch/rng leaf carries the
+            # fold axis at dim 0; hyperparams are replicated
+            in_specs=(fold, fold, fold, rep),
+            out_specs=(fold, fold),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    return jax.jit(vstep, donate_argnums=(0,) if donate else ())
