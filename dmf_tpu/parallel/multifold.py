@@ -57,27 +57,34 @@ def stack_fold_batches(batches: Sequence[dict]) -> dict:
 
 
 def make_multifold_step(raw_step: Callable, donate: bool = True,
-                        mesh: Optional[Mesh] = None) -> Callable:
+                        mesh: Optional[Mesh] = None,
+                        per_fold_hp: bool = False) -> Callable:
     """vmap an UNJITTED train step over the leading fold axis.
 
     ``raw_step``: ``(state, batch, rng, hp) -> (state, metrics)`` from
     ``make_single_train_step(..., jit_compile=False)`` or
     ``make_fusion_train_step(..., jit_compile=False)``.  Hyperparams are
-    shared across folds (the reference runs the same schedule per fold);
-    state/batch/rng carry the (K, ...) fold axis.
+    shared across folds by default (the reference runs the same schedule
+    per fold); ``per_fold_hp=True`` maps hp too — stack each
+    ``(num_groups,)`` hyperparam vector to ``(K, num_groups)`` — so
+    fold-individual plateau/unfreeze schedules (each fold's controller
+    reacting to ITS val loss, reference scheduler_selector semantics)
+    stay exact under lockstep training.  state/batch/rng always carry the
+    (K, ...) fold axis.
 
     With ``mesh``, the fold axis is split over the mesh's data axis via
     ``shard_map`` (K must be divisible by the data-axis size); each device
     group steps its folds independently — zero collectives.
     """
-    vstep = jax.vmap(raw_step, in_axes=(0, 0, 0, None))
+    hp_ax = 0 if per_fold_hp else None
+    vstep = jax.vmap(raw_step, in_axes=(0, 0, 0, hp_ax))
     if mesh is not None:
         fold, rep = P(DATA_AXIS), P()
         sharded = jax.shard_map(
             vstep, mesh=mesh,
             # pytree-prefix specs: every state/batch/rng leaf carries the
-            # fold axis at dim 0; hyperparams are replicated
-            in_specs=(fold, fold, fold, rep),
+            # fold axis at dim 0; hyperparams replicate unless per-fold
+            in_specs=(fold, fold, fold, fold if per_fold_hp else rep),
             out_specs=(fold, fold),
             check_vma=False,
         )

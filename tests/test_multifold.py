@@ -123,6 +123,47 @@ def test_vmapped_folds_equal_sequential_runs():
                                        rtol=2e-5, atol=1e-6)
 
 
+def test_per_fold_hyperparams():
+    """per_fold_hp=True lets each fold run its own schedule (e.g. one
+    fold's plateau fired): fold 1 with lr x10 must diverge from fold 0,
+    and fold 0 must match the shared-hp result exactly."""
+    cfg = tiny_cfg()
+    C = cfg.dwi_channel_num
+    model = Encoder(method="dwi", config=cfg.dwi_model, channel_num=C,
+                    num_classes=cfg.class_num)
+    labels = np.arange(2 * B) % cfg.class_num
+    clf = get_classification_loss_fn(cfg, labels, "dwi")
+    mask_fn = get_mask_loss_fn(cfg, "dwi")
+    hp = SingleModelOptController(cfg, "dwi").hyperparams()
+
+    folds = [build_fold(cfg, model, seed=5) for _ in range(2)]  # same init
+    spec = build_group_spec(folds[0][0].params, cfg.dwi_model.use_backbone,
+                            cfg.reference_compat)
+    raw = make_single_train_step(cfg, "dwi", model, clf, mask_fn, spec,
+                                 jit_compile=False)
+    stacked = stack_fold_states([f[0] for f in folds])
+    batch = stack_fold_batches([folds[0][1][0]] * 2)  # same data
+    drops = jnp.stack([jax.random.PRNGKey(3)] * 2)  # same dropout
+
+    shared = make_multifold_step(raw, donate=False)
+    s_shared, _ = shared(stacked, batch, drops, hp)
+
+    hp2 = jax.tree.map(lambda v: jnp.stack([v, v * 10.0]), hp)
+    per = make_multifold_step(raw, donate=False, per_fold_hp=True)
+    s_per, _ = per(stacked, batch, drops, hp2)
+
+    p0_shared = jax.tree.leaves(index_fold_state(s_shared, 0).params)
+    p0_per = jax.tree.leaves(index_fold_state(s_per, 0).params)
+    for a, b in zip(p0_per, p0_shared):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    p1_per = jax.tree.leaves(index_fold_state(s_per, 1).params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        for a, b in zip(p1_per, p0_per)
+    )
+
+
 def test_fold_axis_shards_over_mesh():
     """Fold parallelism splits over the mesh data axis via shard_map (each
     device group trains its folds locally, zero collectives) and matches
