@@ -10,6 +10,7 @@ from .mesh import (
 )
 from .multifold import (
     index_fold_state,
+    make_multifold_predictor,
     make_multifold_step,
     stack_fold_batches,
     stack_fold_states,
@@ -31,6 +32,7 @@ __all__ = [
     "mesh_from_config",
     "replicated",
     "index_fold_state",
+    "make_multifold_predictor",
     "make_multifold_step",
     "stack_fold_batches",
     "stack_fold_states",

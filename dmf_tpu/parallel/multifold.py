@@ -56,6 +56,19 @@ def stack_fold_batches(batches: Sequence[dict]) -> dict:
     return jax.tree.map(lambda *leaves: jnp.stack(leaves), *batches)
 
 
+def make_multifold_predictor(predictor: Callable) -> Callable:
+    """vmap a predictor over the fold axis: every argument fold-stacked.
+
+    Pairs with multifold training for the test phase (the reference
+    evaluates per fold sequentially, train.py:736-823): stack each fold's
+    ``variables`` (``stack_fold_states``-style tree stack), its test batch,
+    and K split rng keys, and the whole K-fold TTA x MC ensemble runs as
+    one program.  Works on the jitted output of ``make_single_predictor``
+    / ``make_fusion_predictor`` directly (jit-of-vmap-of-jit collapses).
+    """
+    return jax.jit(jax.vmap(predictor))
+
+
 def make_multifold_step(raw_step: Callable, donate: bool = True,
                         mesh: Optional[Mesh] = None,
                         per_fold_hp: bool = False) -> Callable:

@@ -123,6 +123,36 @@ def test_vmapped_folds_equal_sequential_runs():
                                        rtol=2e-5, atol=1e-6)
 
 
+def test_multifold_predictor_equals_per_fold():
+    """The K-fold TTA x MC test phase as one vmapped program equals
+    per-fold sequential prediction."""
+    from dmf_tpu.evals import make_single_predictor
+    from dmf_tpu.parallel import make_multifold_predictor
+
+    cfg = tiny_cfg().replace(mc_passes=3)
+    C = cfg.dwi_channel_num
+    model = Encoder(method="dwi", config=cfg.dwi_model, channel_num=C,
+                    num_classes=cfg.class_num)
+    folds = [build_fold(cfg, model, seed=s) for s in range(2)]
+    variables = [
+        {"params": f[0].params, "batch_stats": f[0].batch_stats}
+        for f in folds
+    ]
+    imgs = [f[1][0]["imgs"] for f in folds]
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+
+    pred = make_single_predictor(cfg, model, mode="tta_mc")
+    seq = [pred(variables[f], imgs[f], keys[f]) for f in range(2)]
+
+    vpred = make_multifold_predictor(pred)
+    m, s, _ = vpred(stack_fold_states(variables), jnp.stack(imgs), keys)
+    for f in range(2):
+        np.testing.assert_allclose(np.asarray(m[f]), np.asarray(seq[f][0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s[f]), np.asarray(seq[f][1]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_per_fold_hyperparams():
     """per_fold_hp=True lets each fold run its own schedule (e.g. one
     fold's plateau fired): fold 1 with lr x10 must diverge from fold 0,
