@@ -103,7 +103,7 @@ def _epilogue_pallas(seed, x, identity, w1, b1, w2, b2,
     B, H, W, C = x.shape
     mid = w1.shape[1]
     per_sample = H * W * C * jnp.dtype(x.dtype).itemsize
-    bt = _batch_tile(B, per_sample)
+    bt = _batch_tile(B, per_sample, budget=_VMEM_BLOCK_LIMIT)
     map_spec = pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(

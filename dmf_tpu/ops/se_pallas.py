@@ -80,9 +80,10 @@ def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
             and h * w * c * jnp.dtype(dtype).itemsize <= _VMEM_BLOCK_LIMIT)
 
 
-def _batch_tile(b: int, per_sample_bytes: int) -> int:
+def _batch_tile(b: int, per_sample_bytes: int,
+                budget: int = _VMEM_BLOCK_LIMIT) -> int:
     """Largest divisor of ``b`` whose tile fits the VMEM block budget."""
-    bt = max(1, min(b, _VMEM_BLOCK_LIMIT // max(per_sample_bytes, 1)))
+    bt = max(1, min(b, budget // max(per_sample_bytes, 1)))
     while b % bt:
         bt -= 1
     return bt
