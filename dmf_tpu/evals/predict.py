@@ -49,12 +49,15 @@ def _dropout_key(r):
     threefry2x32 mask generation is pure VPU work repeated per dropout site
     per pass; ``rbg`` rides the TPU hardware bit generator instead
     (split/fold_in stay threefry on the key data, so flax's ``make_rng``
-    path is unchanged).  Opt-in via ``DMF_MC_RBG=1`` pending an on-chip
-    measured win — the MC ensemble stays a correct dropout ensemble either
-    way (a PRNG impl is not a semantic), and the same key remains fully
-    deterministic.
+    path is unchanged).  Default ON on TPU — measured end-to-end win on
+    v5e (bench.py --mode tta_mc B=32: 92.5 -> 96.1 vol/s on top of the
+    fused epilogue; rbg is also the GSPMD-safe generator, so it holds
+    under a mesh).  ``DMF_MC_RBG=0|1`` overrides.  The MC ensemble stays
+    a correct dropout ensemble either way (a PRNG impl is not a
+    semantic), and the same key remains fully deterministic.
     """
-    if os.environ.get("DMF_MC_RBG", "0") != "1":
+    v = os.environ.get("DMF_MC_RBG")
+    if (v != "1") if v is not None else (jax.default_backend() != "tpu"):
         return r
     kd = (jax.random.key_data(r)
           if jnp.issubdtype(r.dtype, jax.dtypes.prng_key)

@@ -350,13 +350,20 @@ class ResLiteBlock(nn.Module):
         # is a traffic wash; measured breakdown in ops/epilogue_pallas.py).
         # Params come from the same SEBlock child, so checkpoints/structure
         # are identical; no gradient flows through eval/mc forwards.
-        if self.use_se and not train and not self.is_initializing():
+        # MC passes only: measured on-chip (scripts/bench_se.py, v5e) the
+        # kernel wins 2.7-2.9x under the MC vmap (C=128: 31.9->12.0 ms,
+        # C=256: 58.7->20.6 ms per 39 passes) but plain eval (drop=0,
+        # unvmapped) REGRESSES at C=128 (1.7->17.9 ms): XLA's eval chain is
+        # already one fusion there and the bt=8 grid can't hide the
+        # per-tile latency without the folded pass axis filling the grid.
+        if (self.use_se and not train and mc and self.dropout > 0
+                and not self.is_initializing()):
             from ..ops import epilogue_pallas as ep
 
             if (jax.default_backend() == "tpu" and ep.enabled()
                     and out.ndim == 4 and ep.fits_vmem(out.shape, out.dtype)):
-                drop = float(self.dropout) if (mc and self.dropout > 0) else 0.0
-                rng = self.make_rng("dropout") if drop > 0 else None
+                drop = float(self.dropout)
+                rng = self.make_rng("dropout")
                 se_p = self.get_variable("params", "se")
                 out = ep.se_epilogue(
                     out, identity,

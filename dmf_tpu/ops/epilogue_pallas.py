@@ -26,8 +26,18 @@ skips mask generation entirely and is bit-comparable to the XLA route.
 
 Forward/serving only — training keeps the differentiable XLA path.  The
 MC-pass axis folds into the kernel batch via ``jax.custom_batching``
-exactly like ops/se_pallas.py.  Dispatch gate: ``DMF_FUSED_EPILOGUE=1``
-(measured-win pending, same policy as DMF_FUSED_SE).
+exactly like ops/se_pallas.py.  Dispatch gate: ``DMF_FUSED_EPILOGUE=1``.
+
+Measured (scripts/bench_se.py, v5e, B=128 32x32 bf16, 2026-08-18): under
+the 39-pass MC vmap the kernel wins decisively — C=128: 31.9 -> 12.0 ms
+(2.66x), C=256: 58.7 -> 20.6 ms (2.85x) per ensemble; unbatched mc wins
+mildly (C=256: 3.23 -> 1.88 ms).  Plain eval (drop=0, unvmapped)
+REGRESSES at C=128 (1.73 -> 17.9 ms): XLA's eval chain is a single fusion
+there and the small bt=8 grid cannot hide per-tile latency without the
+folded pass axis.  models/layers.py therefore dispatches the kernel on MC
+passes only (``mc and dropout > 0``); eval keeps the XLA route.  (The
+C=512 vmap39 XLA *baseline* could not be timed — the axon tunnel rejects
+its compile payload with HTTP 413; the fused kernel compiles fine.)
 
 Single-device serving only: a Pallas custom call does not auto-partition
 under GSPMD, so the sharded (mesh) serving path keeps the XLA route — wrap
@@ -53,8 +63,19 @@ _VMEM_BLOCK_LIMIT = 2 * 1024 * 1024
 
 
 def enabled() -> bool:
-    """Measured-win gate (policy: see ops/se_pallas.py::enabled)."""
-    return os.environ.get("DMF_FUSED_EPILOGUE", "0") == "1"
+    """Measured-win gate (policy: see ops/se_pallas.py::enabled).
+
+    Default ON for single-device TPU serving — measured end-to-end win
+    (bench.py --mode tta_mc B=32: 87.4 -> 92.5 vol/s, and the 2.7-2.9x
+    MC-vmap segment wins above).  Multi-device defaults OFF: a Pallas
+    custom call does not auto-partition under GSPMD, so the sharded
+    serving path keeps the XLA route.  ``DMF_FUSED_EPILOGUE=0|1``
+    overrides either way.
+    """
+    v = os.environ.get("DMF_FUSED_EPILOGUE")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:

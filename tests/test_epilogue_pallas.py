@@ -102,8 +102,15 @@ class TestEpilogueKernel:
         assert a.shape == (3,) + setup["x"].shape
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_gate_and_vmem(self):
-        assert not enabled()  # default off until the on-chip measured win
+    def test_gate_and_vmem(self, monkeypatch):
+        # default: ON only for single-device TPU (measured win); here the
+        # backend is CPU so the default resolves off
+        monkeypatch.delenv("DMF_FUSED_EPILOGUE", raising=False)
+        assert not enabled()
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE", "1")
+        assert enabled()
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE", "0")
+        assert not enabled()
         assert fits_vmem((8, 32, 32, 512), jnp.bfloat16)
         assert not fits_vmem((8, 32, 32, 514), jnp.bfloat16)  # lane-misaligned
 
