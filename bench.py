@@ -169,6 +169,20 @@ def main() -> None:
         except Exception:
             pass  # backend already initialized; keep whatever it picked
 
+    # Persistent compilation cache: full-geometry TPU compiles take 5-20 min
+    # on this host; a pre-warmed cache (same repo-local dir the 8-device
+    # dryrun uses) turns re-runs of the same bench config into cache loads.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these knobs: run uncached
+
     if args.quick:
         args.batch, args.steps, args.image_size = 8, 3, 64
 
