@@ -193,6 +193,59 @@ def _iter_arrays(tree):
         yield tree
 
 
+def export_resnet50(
+    params: Mapping[str, Mapping],
+    stats: Mapping[str, Mapping],
+    deep_stem: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_resnet50`: ResNetFeatures (params,
+    batch_stats) -> a timm-layout state_dict (numpy; conv OIHW, incl. the
+    ``num_batches_tracked`` counters torch BatchNorms serialize).
+
+    ``deep_stem`` selects the resnet50d layout: the 3-conv stem under
+    ``conv1.{0,3,6}`` and — because timm pairs deep_stem with avg_down —
+    downsample convs shifted to ``downsample.{1,2}`` behind the AvgPool.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(key, p):
+        sd[key + ".weight"] = np.asarray(
+            p["kernel"], np.float32).transpose(3, 2, 0, 1)
+
+    def bn(key, p, s):
+        b, t = p["BatchNorm_0"], s["BatchNorm_0"]
+        sd[key + ".weight"] = np.asarray(b["scale"], np.float32)
+        sd[key + ".bias"] = np.asarray(b["bias"], np.float32)
+        sd[key + ".running_mean"] = np.asarray(t["mean"], np.float32)
+        sd[key + ".running_var"] = np.asarray(t["var"], np.float32)
+        sd[key + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    if deep_stem:
+        for i, (ck, bk) in enumerate(
+            [("conv1.0", "conv1.1"), ("conv1.3", "conv1.4"), ("conv1.6", "bn1")]
+        ):
+            conv(ck, params[f"stem_conv{i + 1}"])
+            bn(bk, params[f"stem_bn{i + 1}"], stats[f"stem_bn{i + 1}"])
+    else:
+        conv("conv1", params["conv1"])
+        bn("bn1", params["bn1"], stats["bn1"])
+
+    for stage in range(4):
+        for block in range(_RESNET_LAYERS[stage]):
+            pre = f"layer{stage + 1}.{block}"
+            name = f"layer{stage + 1}_block{block}"
+            bp, bs = params[name], stats[name]
+            for ci in (1, 2, 3):
+                conv(f"{pre}.conv{ci}", bp[f"conv{ci}"])
+                bn(f"{pre}.bn{ci}", bp[f"bn{ci}"], bs[f"bn{ci}"])
+            if "downsample_conv" in bp:
+                idx = 1 if deep_stem else 0
+                conv(f"{pre}.downsample.{idx}", bp["downsample_conv"])
+                bn(f"{pre}.downsample.{idx + 1}", bp["downsample_bn"],
+                   bs["downsample_bn"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # ViT import
 # ---------------------------------------------------------------------------
@@ -258,3 +311,33 @@ def import_vit_base(
                         "bias": sd[f"{pre}.mlp.fc2.bias"]},
         }
     return params, {}
+
+
+def export_vit_base(params: Mapping[str, Mapping]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_vit_base`: ViTFeatures params -> a timm
+    vit_base_patch16-layout state_dict (numpy).  The position embedding is
+    exported at the model's own grid (no resize back to 224)."""
+    f32 = lambda v: np.asarray(v, np.float32)
+    sd: Dict[str, np.ndarray] = {
+        "patch_embed.proj.weight": f32(
+            params["patch_embed"]["kernel"]).transpose(3, 2, 0, 1),
+        "patch_embed.proj.bias": f32(params["patch_embed"]["bias"]),
+        "cls_token": f32(params["cls_token"]),
+        "pos_embed": f32(params["pos_embed"]),
+    }
+    depth = len([k for k in params if k.startswith("block")])
+    for i in range(depth):
+        b, pre = params[f"block{i}"], f"blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = f32(b["norm1"]["scale"])
+        sd[f"{pre}.norm1.bias"] = f32(b["norm1"]["bias"])
+        sd[f"{pre}.attn.qkv.weight"] = f32(b["attn"]["qkv"]["kernel"]).T
+        sd[f"{pre}.attn.qkv.bias"] = f32(b["attn"]["qkv"]["bias"])
+        sd[f"{pre}.attn.proj.weight"] = f32(b["attn"]["proj"]["kernel"]).T
+        sd[f"{pre}.attn.proj.bias"] = f32(b["attn"]["proj"]["bias"])
+        sd[f"{pre}.norm2.weight"] = f32(b["norm2"]["scale"])
+        sd[f"{pre}.norm2.bias"] = f32(b["norm2"]["bias"])
+        sd[f"{pre}.mlp.fc1.weight"] = f32(b["mlp_fc1"]["kernel"]).T
+        sd[f"{pre}.mlp.fc1.bias"] = f32(b["mlp_fc1"]["bias"])
+        sd[f"{pre}.mlp.fc2.weight"] = f32(b["mlp_fc2"]["kernel"]).T
+        sd[f"{pre}.mlp.fc2.bias"] = f32(b["mlp_fc2"]["bias"])
+    return sd
