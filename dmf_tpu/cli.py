@@ -7,6 +7,8 @@ Usage:
     python -m dmf_tpu.cli run --fusion   # include the fusion stage
     python -m dmf_tpu.cli debug-suite    # pre-training smoke harness
     python -m dmf_tpu.cli bench --quick
+    python -m dmf_tpu.cli export-ckpt --method dwi \
+        --checkpoint results/.../best --out dwi_for_reference.ckpt
 """
 
 from __future__ import annotations
@@ -166,6 +168,60 @@ def cmd_bench(args) -> int:
     return subprocess.call(cmd)
 
 
+def cmd_export_ckpt(args) -> int:
+    """Reverse migration: a dmf_tpu checkpoint -> reference Lightning ckpt(s)
+    the genuine torch modules load with ``strict=True`` (models/ref_ckpt.py).
+
+    ``--method dwi|dce`` exports one encoder; ``--method fusion`` takes a
+    combined fusion TrainState and writes ``<stem>_{dwi,dce,fusion}.ckpt``.
+    The config flags (``--config``/``--tiny``/...) must describe the same
+    geometry the checkpoint was trained with.
+    """
+    import jax
+
+    cfg = load_config(args)
+    from .models.ref_ckpt import (
+        export_reference_encoder,
+        export_reference_fusion,
+        save_lightning_ckpt,
+    )
+    from .pipeline.prepare_single import build_single_model
+    from .train import TrainState
+    from .utils.checkpoint import load_checkpoint
+
+    if args.method in ("dwi", "dce"):
+        _, variables, _ = build_single_model(cfg, args.method)
+        state = load_checkpoint(
+            args.checkpoint, jax.device_get(TrainState.create(variables)))
+        sd = export_reference_encoder(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        save_lightning_ckpt(args.out, sd)
+        print(f"[dmf_tpu] wrote {args.out} ({len(sd)} tensors)")
+        return 0
+
+    # fusion: the combined TrainState carries dwi/dce/fusion subtrees
+    from .pipeline.run_fusion import build_fusion_state
+
+    dwi_model, dwi_vars, _ = build_single_model(cfg, "dwi")
+    dce_model, dce_vars, _ = build_single_model(cfg, "dce")
+    _, state = build_fusion_state(
+        cfg, dwi_model, TrainState.create(dwi_vars),
+        dce_model, TrainState.create(dce_vars),
+    )
+    state = load_checkpoint(args.checkpoint, jax.device_get(state))
+    stem = args.out[:-len(".ckpt")] if args.out.endswith(".ckpt") else args.out
+    exporters = {"dwi": export_reference_encoder,
+                 "dce": export_reference_encoder,
+                 "fusion": export_reference_fusion}
+    for name, export in exporters.items():
+        sd = export({"params": state.params[name],
+                     "batch_stats": state.batch_stats[name]})
+        path = f"{stem}_{name}.ckpt"
+        save_lightning_ckpt(path, sd)
+        print(f"[dmf_tpu] wrote {path} ({len(sd)} tensors)")
+    return 0
+
+
 def _pin_platform() -> None:
     """Make JAX_PLATFORMS authoritative (the run.py:48-50 device-select
     equivalent).  Some TPU plugins force-register themselves and ignore the
@@ -196,6 +252,20 @@ def main(argv=None) -> int:
     p_bench = sub.add_parser("bench", help="fusion inference benchmark")
     p_bench.add_argument("--quick", action="store_true")
 
+    p_exp = sub.add_parser(
+        "export-ckpt",
+        help="export a trained dmf_tpu checkpoint to reference Lightning "
+             ".ckpt(s) the genuine torch modules load strict",
+    )
+    _add_common(p_exp)
+    p_exp.add_argument("--method", required=True,
+                       choices=["dwi", "dce", "fusion"])
+    p_exp.add_argument("--checkpoint", required=True,
+                       help="msgpack/Orbax dmf_tpu checkpoint (a reference "
+                            ".ckpt also works for single encoders — that "
+                            "round-trips it through our importer)")
+    p_exp.add_argument("--out", required=True)
+
     args = parser.parse_args(argv)
     if args.command == "run":
         return cmd_run(args)
@@ -203,6 +273,8 @@ def main(argv=None) -> int:
         return cmd_debug_suite(args)
     if args.command == "bench":
         return cmd_bench(args)
+    if args.command == "export-ckpt":
+        return cmd_export_ckpt(args)
     return 1
 
 

@@ -77,10 +77,9 @@ def save_lightning_ckpt(path: str, state_dict: Mapping[str, np.ndarray],
     prepare_single_model.py:208-218)."""
     import torch
 
-    sd = {
-        prefix + k: torch.from_numpy(np.ascontiguousarray(v))
-        for k, v in state_dict.items()
-    }
+    # torch.tensor copies, so non-writable (device-backed) arrays are safe
+    sd = {prefix + k: torch.tensor(np.asarray(v))
+          for k, v in state_dict.items()}
     torch.save({"state_dict": sd}, path)
 
 

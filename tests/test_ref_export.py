@@ -264,6 +264,41 @@ class TestFusionExport:
         )
 
 
+class TestCLIExport:
+    def test_cli_export_single(self, ref_mm, tmp_path):
+        """``dmf_tpu export-ckpt --method dwi`` on a saved training state
+        writes a Lightning ckpt the genuine reference encoder strict-loads."""
+        from dmf_tpu import cli
+        from dmf_tpu.pipeline.prepare_single import build_single_model
+        from dmf_tpu.train import TrainState
+        from dmf_tpu.utils.checkpoint import save_pytree
+
+        cfg = tiny_cfg()
+        cfg_path = str(tmp_path / "cfg.json")
+        cfg.save(cfg_path)
+
+        _, variables, _ = build_single_model(cfg, "dwi")
+        state = TrainState.create(
+            _randomize_variables(jax.device_get(variables), seed=21))
+        ckpt = str(tmp_path / "state")
+        save_pytree(ckpt, state)
+
+        out = str(tmp_path / "export.ckpt")
+        rc = cli.main(["export-ckpt", "--config", cfg_path, "--method", "dwi",
+                       "--checkpoint", ckpt, "--out", out])
+        assert rc == 0
+
+        sd = load_lightning_ckpt(out)  # torch tensors, model. prefix stripped
+        ref_model = ref_mm.ModelMaskHeadBackbone(
+            "dwi", to_reference_dict(cfg), backbone=None)
+        ref_model.load_state_dict(sd, strict=True)
+        want = np.asarray(
+            state.params["classification_head"]["Dense_0"]["kernel"]).T
+        np.testing.assert_allclose(
+            ref_model.classification_head.fc.weight.detach().numpy(), want,
+            rtol=1e-6)
+
+
 class TestLightningFormat:
     def test_save_lightning_ckpt_roundtrip(self, tmp_path):
         sd = {"a.weight": np.ones((2, 3), np.float32),
