@@ -222,6 +222,50 @@ def cmd_export_ckpt(args) -> int:
     return 0
 
 
+def cmd_export_serving(args) -> int:
+    """Package the fusion serving program as an AOT StableHLO artifact
+    (dmf_tpu/serving.py).  The artifact deserializes and runs without any
+    model code; weights ride as arguments (ship the checkpoint beside it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = load_config(args)
+    from .pipeline.prepare_single import build_single_model
+    from .pipeline.run_fusion import build_fusion_state
+    from .serving import export_serving, make_serving_fn
+    from .train import TrainState
+    from .utils.checkpoint import load_checkpoint
+
+    dwi_model, dwi_vars, _ = build_single_model(cfg, "dwi")
+    dce_model, dce_vars, _ = build_single_model(cfg, "dce")
+    fusion_model, state = build_fusion_state(
+        cfg, dwi_model, TrainState.create(dwi_vars),
+        dce_model, TrainState.create(dce_vars),
+    )
+    if args.checkpoint:
+        state = load_checkpoint(args.checkpoint, jax.device_get(state))
+
+    fn = make_serving_fn(cfg, dwi_model, dce_model, fusion_model,
+                         mode=args.mode, mc_chunk=cfg.mc_chunk)
+    B, S = args.batch, cfg.dwi_model.input_size
+    variables = {
+        m: {"params": state.params[m], "batch_stats": state.batch_stats[m]}
+        for m in ("dwi", "dce", "fusion")
+    }
+    example = (
+        variables,
+        jnp.zeros((B, S, S, cfg.dwi_channel_num), jnp.float32),
+        jnp.zeros((B, S, S, cfg.dce_channel_num), jnp.float32),
+        jnp.uint32(0),
+    )
+    platforms = tuple(args.platforms.split(","))
+    data = export_serving(fn, example, path=args.out, platforms=platforms)
+    print(f"[dmf_tpu] wrote {args.out} ({len(data)} bytes, mode={args.mode}, "
+          f"batch={B}, platforms={','.join(platforms)})")
+    return 0
+
+
 def _pin_platform() -> None:
     """Make JAX_PLATFORMS authoritative (the run.py:48-50 device-select
     equivalent).  Some TPU plugins force-register themselves and ignore the
@@ -266,6 +310,25 @@ def main(argv=None) -> int:
                             "round-trips it through our importer)")
     p_exp.add_argument("--out", required=True)
 
+    p_srv = sub.add_parser(
+        "export-serving",
+        help="package the fusion serving program as an AOT StableHLO "
+             "artifact (runs without model code; dmf_tpu/serving.py)",
+    )
+    _add_common(p_srv)
+    p_srv.add_argument("--checkpoint", default=None,
+                       help="combined fusion TrainState to bake the "
+                            "geometry from (weights still ride as "
+                            "arguments at serving time)")
+    p_srv.add_argument("--out", required=True)
+    p_srv.add_argument("--mode", default="normal",
+                       choices=["normal", "tta", "mc", "tta_mc"])
+    p_srv.add_argument("--batch", type=int, default=32,
+                       help="served batch size (static shapes; export one "
+                            "artifact per batch size)")
+    p_srv.add_argument("--platforms", default="tpu,cpu",
+                       help="comma-separated lowering targets")
+
     args = parser.parse_args(argv)
     if args.command == "run":
         return cmd_run(args)
@@ -275,6 +338,8 @@ def main(argv=None) -> int:
         return cmd_bench(args)
     if args.command == "export-ckpt":
         return cmd_export_ckpt(args)
+    if args.command == "export-serving":
+        return cmd_export_serving(args)
     return 1
 
 

@@ -109,3 +109,24 @@ class TestServingArtifact:
         mean_orig, _ = served(*_args(variables, xd, xc))
         assert not np.allclose(np.asarray(mean_orig),
                                np.asarray(mean_served), atol=1e-6)
+
+
+class TestCLIExportServing:
+    def test_cli_export_serving(self, tmp_path):
+        """`dmf_tpu export-serving --tiny` writes a deserializable artifact
+        with the requested batch geometry."""
+        from jax import export as jexport
+
+        from dmf_tpu import cli
+
+        out = str(tmp_path / "serving.stablehlo")
+        rc = cli.main(["export-serving", "--tiny", "--out", out,
+                       "--mode", "normal", "--batch", "2",
+                       "--platforms", "cpu"])
+        assert rc == 0
+        with open(out, "rb") as f:
+            exported = jexport.deserialize(f.read())
+        shapes = [tuple(a.shape) for a in exported.in_avals
+                  if len(a.shape) == 4]
+        assert (2, 32, 32, 14) in shapes  # the DWI serving input
+        assert (2, 32, 32, 6) in shapes  # the DCE serving input
