@@ -10,8 +10,21 @@ TPU-first (NHWC, bfloat16 compute, SPMD over jax.sharding meshes, Pallas
 kernels on the hot paths).
 """
 
-from .config import Config, default_parameters, resolve_backbone_config
+from .config import (
+    Config,
+    default_parameters,
+    from_reference_dict,
+    resolve_backbone_config,
+    to_reference_dict,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "default_parameters", "resolve_backbone_config", "__version__"]
+__all__ = [
+    "Config",
+    "default_parameters",
+    "from_reference_dict",
+    "resolve_backbone_config",
+    "to_reference_dict",
+    "__version__",
+]

@@ -20,6 +20,11 @@ import sys
 
 def _add_common(p):
     p.add_argument("--config", default=None, help="path to a config JSON")
+    p.add_argument("--ref-params", default=None,
+                   help="path to the reference's saved parameters dict "
+                        "(parameters/parameters.pth, or a JSON dump of the "
+                        "same layout); builds the Config via "
+                        "from_reference_dict")
     p.add_argument("--base-path", default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--min-epochs", type=int, default=None)
@@ -52,12 +57,38 @@ def _add_common(p):
                         "memory; evals/predict.py::_mc_map)")
 
 
+def _load_reference_params(path: str):
+    """Build a Config straight from the reference's saved ``parameters``
+    artifact: the torch-pickled dict ``parameters_generate.py`` writes to
+    ``parameters/parameters.pth`` (parameters_generate.py:303), or a JSON
+    dump of the same layout."""
+    from .config import from_reference_dict
+
+    if path.endswith(".json"):
+        with open(path) as f:
+            return from_reference_dict(json.load(f))
+    import torch
+
+    try:
+        d = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # the dict holds only python scalars/tuples, but older torch saves
+        # may need full unpickling (the user's own artifact)
+        d = torch.load(path, map_location="cpu", weights_only=False)
+    return from_reference_dict(d)
+
+
 def load_config(args):
     import dataclasses
 
     from .config import Config, default_parameters
 
-    cfg = Config.load(args.config) if args.config else default_parameters()
+    if getattr(args, "ref_params", None):
+        cfg = _load_reference_params(args.ref_params)
+    elif args.config:
+        cfg = Config.load(args.config)
+    else:
+        cfg = default_parameters()
     updates = {}
     if args.base_path:
         updates["base_path"] = args.base_path
