@@ -59,22 +59,34 @@ def load_raw_tensors(cfg: Config, method: str) -> Dict[str, np.ndarray]:
     if os.path.exists(npz):
         d = np.load(npz)
         return {k: d[k] for k in d.files}
-    pth = os.path.join(base, f"{method}_tensordata.pth")
-    if os.path.exists(pth):
+
+    def find_pth(stem: str) -> Optional[str]:
+        # flat layout, or the reference's nested one-dir-per-store layout
+        # (parameters_generate.py:290-296: base/dwi_tensordata/
+        # dwi_tensordata.pth etc.) so a reference archive works unmodified
+        for p in (os.path.join(base, f"{stem}.pth"),
+                  os.path.join(base, stem, f"{stem}.pth")):
+            if os.path.exists(p):
+                return p
+        return None
+
+    pth = find_pth(f"{method}_tensordata")
+    if pth is not None:
         import torch
 
         def to_np(t):
             return t.float().numpy().transpose(0, 2, 3, 1)
 
+        def load(stem):
+            return torch.load(find_pth(stem), map_location="cpu")
+
         return {
-            "imgs": to_np(torch.load(pth)),
-            "test_imgs": to_np(torch.load(
-                os.path.join(base, f"{method}_test_tensordata.pth"))),
-            "labels": torch.load(
-                os.path.join(base, "labels_tensordata.pth")).numpy(),
-            "test_labels": torch.load(
-                os.path.join(base, "labels_test_tensordata.pth")).numpy(),
-            "masks": torch.load(os.path.join(base, "masks/mask.pth"))
+            "imgs": to_np(torch.load(pth, map_location="cpu")),
+            "test_imgs": to_np(load(f"{method}_test_tensordata")),
+            "labels": load("labels_tensordata").numpy(),
+            "test_labels": load("labels_test_tensordata").numpy(),
+            "masks": torch.load(os.path.join(base, "masks/mask.pth"),
+                                map_location="cpu")
             .float().numpy().transpose(0, 2, 3, 1),
         }
     from ..data.synthetic import make_synthetic_arrays

@@ -189,6 +189,35 @@ class TestTorchStoreLoader:
         assert raw["masks"].shape == (n, 16, 16, 1)
         assert np.allclose(raw["imgs"][0, :, :, 0], dwi[0, 0])
 
+    def test_reference_nested_layout(self, tiny_cfg, tmp_path):
+        """The reference archive nests each store in its own directory
+        (parameters_generate.py:290-296) — must load unmodified."""
+        import torch
+
+        from dmf_tpu.pipeline import load_raw_tensors
+
+        base = str(tmp_path / "archive")
+        rng = np.random.RandomState(1)
+        n = 5
+        dce = rng.rand(n, 6, 16, 16).astype(np.float32)
+        labels = rng.randint(0, 4, n)
+        for stem, arr in (
+            ("dce_tensordata", torch.tensor(dce)),
+            ("dce_test_tensordata", torch.tensor(dce[:2])),
+            ("labels_tensordata", torch.tensor(labels)),
+            ("labels_test_tensordata", torch.tensor(labels[:2])),
+        ):
+            os.makedirs(os.path.join(base, stem), exist_ok=True)
+            torch.save(arr, os.path.join(base, stem, f"{stem}.pth"))
+        os.makedirs(os.path.join(base, "masks"), exist_ok=True)
+        torch.save(torch.tensor(rng.rand(n, 1, 16, 16).astype(np.float32)),
+                   os.path.join(base, "masks", "mask.pth"))
+
+        raw = load_raw_tensors(tiny_cfg.replace(base_path=base), "dce")
+        assert raw["imgs"].shape == (n, 16, 16, 6)
+        assert raw["test_labels"].shape == (2,)
+        assert np.allclose(raw["imgs"][0, :, :, 0], dce[0, 0])
+
 
 class TestInt8ServingPath:
     def test_fusion_model_test_int8(self, tiny_cfg):
