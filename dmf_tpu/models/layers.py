@@ -356,14 +356,18 @@ class ResLiteBlock(nn.Module):
         # unvmapped) REGRESSES at C=128 (1.7->17.9 ms): XLA's eval chain is
         # already one fusion there and the bt=8 grid can't hide the
         # per-tile latency without the folded pass axis filling the grid.
-        if (self.use_se and not train and mc and self.dropout > 0
-                and not self.is_initializing()):
+        if self.use_se and not train and not self.is_initializing():
             from ..ops import epilogue_pallas as ep
 
-            if (jax.default_backend() == "tpu" and ep.enabled()
+            mc_drop = mc and self.dropout > 0
+            # the two cases are gated separately: the MC-vmap dispatch is a
+            # measured default-on win; the drop-free eval dispatch (grid
+            # marked parallel) has its own gate pending its own measurement
+            gate = ep.enabled() if mc_drop else ep.enabled_eval()
+            if (jax.default_backend() == "tpu" and gate
                     and out.ndim == 4 and ep.fits_vmem(out.shape, out.dtype)):
-                drop = float(self.dropout)
-                rng = self.make_rng("dropout")
+                drop = float(self.dropout) if mc_drop else 0.0
+                rng = self.make_rng("dropout") if mc_drop else None
                 se_p = self.get_variable("params", "se")
                 out = ep.se_epilogue(
                     out, identity,

@@ -32,10 +32,12 @@ Measured (scripts/bench_se.py, v5e, B=128 32x32 bf16, 2026-08-18): under
 the 39-pass MC vmap the kernel wins decisively — C=128: 31.9 -> 12.0 ms
 (2.66x), C=256: 58.7 -> 20.6 ms (2.85x) per ensemble; unbatched mc wins
 mildly (C=256: 3.23 -> 1.88 ms).  Plain eval (drop=0, unvmapped)
-REGRESSES at C=128 (1.73 -> 17.9 ms): XLA's eval chain is a single fusion
-there and the small bt=8 grid cannot hide per-tile latency without the
-folded pass axis.  models/layers.py therefore dispatches the kernel on MC
-passes only (``mc and dropout > 0``); eval keeps the XLA route.  (The
+first REGRESSED at C=128 (1.73 -> 17.9 ms) under the serialized
+``arbitrary`` grid; with the drop-free grid marked ``parallel`` the
+segment wins mildly (C=128 1.22x, 256/512 ~wash) but e2e fp serving
+still measured 741 vs 766-771 vol/s (see :func:`enabled_eval`).
+models/layers.py therefore dispatches the kernel on MC passes by
+default; the eval dispatch is opt-in ``DMF_FUSED_EPILOGUE_EVAL=1``.  (The
 C=512 vmap39 XLA *baseline* could not be timed — the axon tunnel rejects
 its compile payload with HTTP 413; the fused kernel compiles fine.)
 
@@ -76,6 +78,27 @@ def enabled() -> bool:
     if v is not None:
         return v == "1"
     return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def enabled_eval() -> bool:
+    """Dispatch gate for the DROP-FREE epilogue on plain-eval forwards.
+
+    Separate from :func:`enabled` because the two cases measured
+    differently.  The first cut regressed plain eval 10x with the grid
+    marked ``arbitrary`` (serialized); marking the drop-free grid
+    ``parallel`` fixed the pathology (scripts/bench_se.py, v5e,
+    2026-08-18: segment C=128 1883->1541 us = 1.22x, C=256/512 ~wash)
+    but the win does NOT survive in context — e2e fp serving
+    (bench.py --batch 128) measured 741 vol/s with the gate on vs
+    766-771 on the XLA route: XLA co-fuses the eval epilogue chain with
+    the preceding conv's output, so the isolated kernel only adds
+    dispatch overhead.  Default OFF on measurement;
+    ``DMF_FUSED_EPILOGUE_EVAL=0|1`` overrides.
+    """
+    v = os.environ.get("DMF_FUSED_EPILOGUE_EVAL")
+    if v is not None:
+        return v == "1"
+    return False
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
@@ -147,7 +170,11 @@ def _epilogue_pallas(seed, x, identity, w1, b1, w2, b2,
         out_specs=map_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # PRNG stream is stateful
+            # the hardware PRNG stream is stateful -> grid order must be
+            # fixed when dropout draws bits; the drop-free epilogue has no
+            # cross-tile state, so let Mosaic pipeline/reorder the grid
+            dimension_semantics=(
+                ("arbitrary",) if drop_rate > 0.0 else ("parallel",)),
             vmem_limit_bytes=_VMEM_KERNEL_LIMIT,
         ),
         # the TPU-semantics interpreter (plain interpret=True lacks the TPU
