@@ -12,11 +12,22 @@ see its module docstring for the measurements.)
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def nyul_stride_default() -> int:
+    """Serving-wide default for Nyul percentile subsampling.
+
+    ``DMF_NYUL_STRIDE=k`` estimates each image's landmark percentiles from
+    every k-th pixel (the transform still maps every pixel).  Unset -> 1
+    (every pixel; exact rank statistics).  See ``nyul_transform_fast``.
+    """
+    return max(int(os.environ.get("DMF_NYUL_STRIDE", "1")), 1)
 
 # ---------------------------------------------------------------------------
 # DWI per-channel z-score normalization (dataset.py:9-41)
@@ -175,7 +186,8 @@ class NyulStandardizer:
         self.fitted = data["fitted"]
 
     # -- device-side -------------------------------------------------------
-    def transform(self, img: jnp.ndarray, fast: Optional[bool] = None) -> jnp.ndarray:
+    def transform(self, img: jnp.ndarray, fast: Optional[bool] = None,
+                  percentile_stride: Optional[int] = None) -> jnp.ndarray:
         """Standardize one image or a batch, (..., H, W, C) -> same shape.
 
         Per channel: map image-specific landmark percentiles to the fitted
@@ -188,17 +200,23 @@ class NyulStandardizer:
 
         ``fast``: use the histogram percentile estimator + fused piecewise
         map (default: on for TPU backends, off on CPU for bit-exactness).
+        ``percentile_stride``: estimate per-image landmarks from every k-th
+        pixel (fast path only; default ``DMF_NYUL_STRIDE`` env or 1).
         """
         if not self.fitted:
             raise RuntimeError("Call fit() first")
         if fast is None:
             fast = jax.default_backend() != "cpu"
+        if percentile_stride is None:
+            percentile_stride = nyul_stride_default()
+        kw = {"percentile_stride": percentile_stride} if fast else {}
         fn = nyul_transform_fast if fast else nyul_transform
         return fn(
             img,
             jnp.asarray(self.channel_landmarks, dtype=jnp.float32),
             jnp.asarray(self.landmarks, dtype=jnp.float32),
             jnp.asarray(self.standard_scale, dtype=jnp.float32),
+            **kw,
         )
 
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:

