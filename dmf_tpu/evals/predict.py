@@ -90,18 +90,113 @@ def _mc_map(lean_pass: Callable, rngs: jnp.ndarray,
     return out
 
 
+def _shard_map_predictor(predict: Callable, mesh, n_vars: int, n_imgs: int,
+                         n_views: int) -> Callable:
+    """Wrap a predictor in ``jax.shard_map`` for data-parallel serving.
+
+    Under GSPMD a Pallas custom call cannot be partitioned, so the sharded
+    serving path used to fall back to the pure-XLA route.  Inside a
+    ``shard_map`` body every device runs the predictor on its LOCAL batch
+    shard — a plain single-device program — so the measured-win serving
+    kernels (fused epilogue, rbg dropout keys) dispatch exactly as on one
+    chip (ops/epilogue_pallas.py::shard_local_dispatch).  The TTA/MC
+    ensemble is embarrassingly data-parallel (no collectives), which makes
+    this the idiomatic mesh mapping for serving throughput.
+
+    Layout care: aux leaves carry the folded TTA-view axis view-major
+    ((views*B, ...)); a per-shard concat would interleave shards into that
+    ordering, so the local body splits such leaves to (views, B_local, ...)
+    and shards them ``P(None, 'data')``, and the outer wrapper folds them
+    back — callers see exactly the unsharded layout.  The MC rng is
+    ``fold_in``-ed with the shard index, so passes draw independent masks
+    per shard (each sample's ensemble remains a correct iid MC-dropout
+    sample; the realized masks differ from the unsharded run, like any
+    batch-shape change).
+
+    Variables ride replicated (DP serving); use the GSPMD path for a
+    TP-sharded model (the callers gate on the model-axis size).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import epilogue_pallas as ep
+    from ..parallel.mesh import DATA_AXIS
+
+    def local(*args):
+        *head, rng = args
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        with ep.shard_local_dispatch():
+            mean, std, aux = predict(*head, rng)
+        B_local = mean.shape[0]
+
+        def split_views(a):
+            if (n_views > 1 and hasattr(a, "ndim") and a.ndim >= 1
+                    and a.shape[0] == n_views * B_local):
+                return a.reshape(n_views, B_local, *a.shape[1:])
+            return a
+
+        return mean, std, jax.tree.map(split_views, aux)
+
+    def sharded(*args):
+        imgs = args[n_vars]
+        B = imgs.shape[0]
+        out_sh = jax.eval_shape(lambda *a: predict(*a), *args)
+
+        def aux_spec(leaf):
+            if n_views > 1 and leaf.ndim >= 1 and leaf.shape[0] == n_views * B:
+                return P(None, DATA_AXIS)
+            if leaf.ndim >= 1 and leaf.shape[0] == B:
+                return P(DATA_AXIS)
+            return P()  # shard-invariant (e.g. global scalars)
+
+        aux_specs = jax.tree.map(aux_spec, out_sh[2])
+        in_specs = tuple([P()] * n_vars + [P(DATA_AXIS)] * n_imgs + [P()])
+        # check_vma=False: a pallas_call provides no varying-mesh-axes
+        # metadata, so the default replication checker rejects any body
+        # that dispatches the fused kernels
+        mean, std, aux = jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), aux_specs),
+            check_vma=False,
+        )(*args)
+
+        def fold_views(a):
+            if (n_views > 1 and hasattr(a, "ndim") and a.ndim >= 2
+                    and a.shape[0] == n_views and a.shape[1] == B):
+                return a.reshape(n_views * B, *a.shape[2:])
+            return a
+
+        return mean, std, jax.tree.map(fold_views, aux)
+
+    return jax.jit(sharded)
+
+
+def _mesh_views(cfg: Config, mode: Optional[str], mesh):
+    """(use shard_map?, n_views) for a predictor build; shard_map only for
+    a data-parallel mesh (model axis absent or size 1)."""
+    from ..parallel.mesh import MODEL_AXIS
+
+    mode = mode or cfg.test_mode
+    n_views = 4 if mode in ("tta", "tta_mc") else 1
+    use = mesh is not None and mesh.shape.get(MODEL_AXIS, 1) == 1
+    return use, n_views
+
+
 def make_single_predictor(
     cfg: Config,
     model,
     mode: Optional[str] = None,
     mc_passes: Optional[int] = None,
     mc_chunk: Optional[int] = None,
+    mesh=None,
 ) -> Callable:
     """Build a jitted ``predict(variables, imgs, rng) -> (mean, std, aux)``.
 
     Dispatch mirrors ``predict_custom`` (train.py:608-631).  ``mc_chunk``
     bounds MC-pass activation memory (see ``_mc_map``); defaults to
-    ``cfg.mc_chunk``.
+    ``cfg.mc_chunk``.  ``mesh``: a data-parallel mesh serves the ensemble
+    under ``shard_map`` with the fused serving kernels active per shard
+    (``_shard_map_predictor``); a mesh with a >1 model axis keeps the
+    GSPMD route (pass sharded inputs/variables instead).
     """
     mode = mode or cfg.test_mode
     passes = mc_passes if mc_passes is not None else cfg.mc_passes
@@ -156,6 +251,10 @@ def make_single_predictor(
 
         raise ValueError(f"Unknown predict mode: {mode}")
 
+    use_sm, n_views = _mesh_views(cfg, mode, mesh)
+    if use_sm:
+        return _shard_map_predictor(predict, mesh, n_vars=1, n_imgs=1,
+                                    n_views=n_views)
     return jax.jit(predict)
 
 
@@ -168,6 +267,7 @@ def make_fusion_predictor(
     mc_passes: Optional[int] = None,
     fwd_override: Optional[Callable] = None,
     mc_chunk: Optional[int] = None,
+    mesh=None,
 ) -> Callable:
     """Fusion inference: both encoders + fusion per pass, fully vectorized.
 
@@ -274,4 +374,8 @@ def make_fusion_predictor(
 
         raise ValueError(f"Unknown predict mode: {mode}")
 
+    use_sm, n_views = _mesh_views(cfg, mode, mesh)
+    if use_sm:
+        return _shard_map_predictor(predict, mesh, n_vars=3, n_imgs=2,
+                                    n_views=n_views)
     return jax.jit(predict)

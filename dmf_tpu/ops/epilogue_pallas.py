@@ -41,13 +41,18 @@ default; the eval dispatch is opt-in ``DMF_FUSED_EPILOGUE_EVAL=1``.  (The
 C=512 vmap39 XLA *baseline* could not be timed — the axon tunnel rejects
 its compile payload with HTTP 413; the fused kernel compiles fine.)
 
-Single-device serving only: a Pallas custom call does not auto-partition
-under GSPMD, so the sharded (mesh) serving path keeps the XLA route — wrap
-in ``shard_map`` before enabling the gate on a sharded predictor.
+Under GSPMD a Pallas custom call does not auto-partition, so a sharded
+predictor built on sharding propagation keeps the XLA route.  Data-parallel
+mesh serving instead runs the predictor inside ``shard_map``
+(evals/predict.py::_shard_map_predictor): each shard is a single-device
+program where this kernel dispatches normally — :func:`shard_local_dispatch`
+tells :func:`enabled` the trace is per-shard.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 from typing import Optional, Tuple
@@ -64,20 +69,47 @@ from .se_pallas import _batch_tile, _erf, _VMEM_KERNEL_LIMIT
 _VMEM_BLOCK_LIMIT = 2 * 1024 * 1024
 
 
+# Set (via shard_local_dispatch) while tracing a shard_map body: inside
+# manual sharding every device runs the kernel on its LOCAL batch shard, so
+# the GSPMD can't-partition-a-custom-call restriction doesn't apply and the
+# single-device gate below must not veto the dispatch.
+_SHARD_LOCAL = contextvars.ContextVar("dmf_epilogue_shard_local",
+                                      default=False)
+
+
+@contextlib.contextmanager
+def shard_local_dispatch():
+    """Mark the enclosed trace as per-shard-local (inside ``shard_map``).
+
+    Used by the DP shard_map serving predictor (evals/predict.py): its body
+    runs per shard, where a Pallas call is just a single-device program —
+    the fused serving kernels dispatch exactly as on one chip.
+    """
+    tok = _SHARD_LOCAL.set(True)
+    try:
+        yield
+    finally:
+        _SHARD_LOCAL.reset(tok)
+
+
 def enabled() -> bool:
     """Measured-win gate (policy: see ops/se_pallas.py::enabled).
 
     Default ON for single-device TPU serving — measured end-to-end win
     (bench.py --mode tta_mc B=32: 87.4 -> 92.5 vol/s, and the 2.7-2.9x
-    MC-vmap segment wins above).  Multi-device defaults OFF: a Pallas
-    custom call does not auto-partition under GSPMD, so the sharded
-    serving path keeps the XLA route.  ``DMF_FUSED_EPILOGUE=0|1``
-    overrides either way.
+    MC-vmap segment wins above).  Multi-device defaults OFF — a Pallas
+    custom call does not auto-partition under GSPMD — EXCEPT inside a
+    ``shard_map`` body (see :func:`shard_local_dispatch`), where the
+    kernel runs on the local shard like on one chip; the DP serving
+    predictor uses that path.  ``DMF_FUSED_EPILOGUE=0|1`` overrides
+    either way.
     """
     v = os.environ.get("DMF_FUSED_EPILOGUE")
     if v is not None:
         return v == "1"
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or _SHARD_LOCAL.get()
 
 
 def enabled_eval() -> bool:

@@ -160,8 +160,10 @@ def test_fusion_model(
         )
         fwd_override = make_quantized_fusion_fwd(
             dwi_model, dce_model, fusion_model, qsets)
+    # data-parallel meshes serve under shard_map (fused serving kernels run
+    # per shard); TP meshes keep GSPMD propagation (see make_fusion_predictor)
     predictor = make_fusion_predictor(cfg, dwi_model, dce_model, fusion_model,
-                                      fwd_override=fwd_override)
+                                      fwd_override=fwd_override, mesh=mesh)
     for batch in iterate_batches(ds, cfg.batch_size, shuffle=False,
                                  sharding=batch_sh):
         rng, sub = jax.random.split(rng)

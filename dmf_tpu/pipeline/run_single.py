@@ -58,7 +58,10 @@ def test_single_model(
 
         state = shard_state(jax.device_get(state), mesh)
         batch_sh = batch_sharding(mesh)
-    predictor = make_single_predictor(cfg, model)
+    # data-parallel meshes serve under shard_map (fused serving kernels run
+    # per shard); a TP (model>1) mesh keeps GSPMD propagation from the
+    # sharded inputs — make_single_predictor gates on the mesh shape
+    predictor = make_single_predictor(cfg, model, mesh=mesh)
     proc = data.processors_by_split["test"]
     test = data.splits["test"]
     imgs = np.asarray(proc.eval_split(test["imgs"], adc=test.get("adc")))

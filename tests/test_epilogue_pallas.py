@@ -102,6 +102,19 @@ class TestEpilogueKernel:
         assert a.shape == (3,) + setup["x"].shape
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_eval_gate_default_off(self, monkeypatch):
+        # the drop-free eval dispatch measured an e2e LOSS (741 vs 766-771
+        # vol/s — XLA co-fuses the eval chain into the preceding conv), so
+        # it must stay opt-in regardless of backend
+        from dmf_tpu.ops.epilogue_pallas import enabled_eval
+
+        monkeypatch.delenv("DMF_FUSED_EPILOGUE_EVAL", raising=False)
+        assert not enabled_eval()
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_EVAL", "1")
+        assert enabled_eval()
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_EVAL", "0")
+        assert not enabled_eval()
+
     def test_gate_and_vmem(self, monkeypatch):
         # default: ON only for single-device TPU (measured win); here the
         # backend is CPU so the default resolves off
@@ -113,6 +126,39 @@ class TestEpilogueKernel:
         assert not enabled()
         assert fits_vmem((8, 32, 32, 512), jnp.bfloat16)
         assert not fits_vmem((8, 32, 32, 514), jnp.bfloat16)  # lane-misaligned
+
+
+class TestShardMap:
+    def test_kernel_runs_per_shard_under_shard_map(self, setup):
+        """The DP serving path (evals/predict.py::_shard_map_predictor)
+        runs the kernel inside a shard_map body — each shard executes it on
+        its local batch and the assembled result equals the global run."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+        def local(x, i):
+            return se_epilogue(x, i, setup["w1"], setup["b1"],
+                               setup["w2"], setup["b2"], interpret=True)
+
+        # check_vma=False: pallas_call carries no varying-mesh-axes
+        # metadata (same setting the serving predictor uses)
+        sharded = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        ))
+        out = sharded(setup["x"], setup["idn"])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(local(setup["x"], setup["idn"])),
+            rtol=2e-5, atol=2e-6)
+
+    def test_shard_local_dispatch_flag(self):
+        from dmf_tpu.ops import epilogue_pallas as ep
+
+        assert not ep._SHARD_LOCAL.get()
+        with ep.shard_local_dispatch():
+            assert ep._SHARD_LOCAL.get()
+        assert not ep._SHARD_LOCAL.get()
 
 
 class TestModelDispatch:
