@@ -155,6 +155,11 @@ def main() -> None:
                              "Default: DMF_NYUL_STRIDE env or 1 (exact). "
                              "With k>1 the bench also prints argmax "
                              "agreement + max prob error vs the exact path")
+    parser.add_argument("--dump-hlo", default=None, metavar="FILE",
+                        help="write the optimized HLO of the benched "
+                             "executable (fusion names match the xplane "
+                             "profile; op metadata carries source lines — "
+                             "pairs with scripts/analyze_profile.py)")
     parser.add_argument("--quick", action="store_true",
                         help="tiny geometry for CPU smoke runs")
     args = parser.parse_args()
@@ -355,6 +360,10 @@ def main() -> None:
     # AOT compile: the compiled executable both runs the timed loop and
     # exposes cost_analysis() for the MFU line (no double compile)
     compiled = jax.jit(infer).lower(variables, dwi_raw, dce_raw).compile()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO -> {args.dump_hlo}", file=sys.stderr)
     jfn = lambda *a: compiled(*a)
 
     for _ in range(args.warmup):
