@@ -365,7 +365,8 @@ class ResLiteBlock(nn.Module):
             # marked parallel) has its own gate pending its own measurement
             gate = ep.enabled() if mc_drop else ep.enabled_eval()
             if (jax.default_backend() == "tpu" and gate
-                    and out.ndim == 4 and ep.fits_vmem(out.shape, out.dtype)):
+                    and out.ndim == 4 and ep.fits_vmem(out.shape, out.dtype)
+                    and ep.channel_allowed(out.shape[-1])):
                 drop = float(self.dropout) if mc_drop else 0.0
                 rng = self.make_rng("dropout") if mc_drop else None
                 se_p = self.get_variable("params", "se")

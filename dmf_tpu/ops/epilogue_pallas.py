@@ -133,6 +133,39 @@ def enabled_eval() -> bool:
     return False
 
 
+# Measured winner of the per-site sweep below; "all"/comma-list override.
+_DEFAULT_CH = frozenset({512})
+
+
+def channel_allowed(c: int) -> bool:
+    """Site-selective dispatch: ``DMF_FUSED_EPILOGUE_CH='512'`` (or a
+    comma list; ``all`` = every eligible site) restricts the kernel to
+    the listed channel widths.
+
+    Why: a Mosaic custom call fixes its operands/results to the default
+    descending layout, while XLA lays activations out ``{3,0,2,1}``
+    (channels minor, then batch) — the profile shows explicit relayout
+    fusions at kernel boundaries (tta_mc trace: 2x 7.2 ms on the
+    [1152,32,32,256] maps).  Per-segment the kernel wins 2.7-2.9x at
+    every site (module docstring), but e2e the relayout tax flips the
+    shallow sites: tta_mc B=32 sweep (bench.py, v5e, 2026-08-18) —
+    all sites 96.5 vol/s, {128,512} 100.9, {256,512} 99.0, {512} 103.5.  Unset therefore defaults to the measured winner
+    ``{512}`` (the 16x16 site, where the map is small enough that the
+    boundary relayouts vanish).  Widths outside the sweep (e.g. 768-ch
+    transformer configs) need an explicit opt-in.
+    """
+    v = os.environ.get("DMF_FUSED_EPILOGUE_CH")
+    if v is None:
+        return c in _DEFAULT_CH
+    v = v.strip()
+    if not v or v.lower() == "all":
+        return True
+    try:
+        return c in {int(t) for t in v.split(",") if t.strip()}
+    except ValueError:
+        return True
+
+
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
     b, h, w, c = shape
     return (c % 128 == 0

@@ -43,7 +43,8 @@ CATEGORIES = (
     ("rng", re.compile(r"rng|threefry|bit_generator", re.I)),
     ("transpose/copy/layout", re.compile(r"transpose|copy|bitcast|reshape",
                                          re.I)),
-    ("pallas custom-call", re.compile(r"custom-call|tpu_custom_call", re.I)),
+    ("pallas custom-call", re.compile(r"custom-call|tpu_custom_call|_pallas",
+                                      re.I)),
     ("collectives", re.compile(r"all-reduce|all-gather|reduce-scatter|"
                                r"collective-permute", re.I)),
     ("fused elementwise", re.compile(r"fusion", re.I)),

@@ -127,6 +127,25 @@ class TestEpilogueKernel:
         assert fits_vmem((8, 32, 32, 512), jnp.bfloat16)
         assert not fits_vmem((8, 32, 32, 514), jnp.bfloat16)  # lane-misaligned
 
+    def test_channel_allowlist(self, monkeypatch):
+        # the per-site sweep (module docstring) measured the 512-ch site as
+        # the only e2e winner: unset defaults to {512}; "all" re-enables
+        # every site; a comma list selects explicitly; junk fails open
+        from dmf_tpu.ops.epilogue_pallas import channel_allowed
+
+        monkeypatch.delenv("DMF_FUSED_EPILOGUE_CH", raising=False)
+        assert channel_allowed(512)
+        assert not channel_allowed(128)
+        assert not channel_allowed(256)
+        assert not channel_allowed(768)
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_CH", "all")
+        assert channel_allowed(128) and channel_allowed(768)
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_CH", "128, 512")
+        assert channel_allowed(128) and channel_allowed(512)
+        assert not channel_allowed(256)
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_CH", "not-a-number")
+        assert channel_allowed(256)
+
 
 class TestShardMap:
     def test_kernel_runs_per_shard_under_shard_map(self, setup):
