@@ -67,6 +67,10 @@ from .se_pallas import _batch_tile, _erf, _VMEM_KERNEL_LIMIT
 # x + identity both resident per tile (plus out): tighter budget than the
 # single-input SE kernel
 _VMEM_BLOCK_LIMIT = 2 * 1024 * 1024
+# the transposed variant needs bt >= 8 (minor dims are (bt, C)); allow
+# bigger blocks so bt=8 fits even at the 64^2 x 128 site (8 MB blocks,
+# 3 arrays double-buffered = 48 MB, under the 64 MB kernel limit)
+_VMEM_BLOCK_LIMIT_T = 8 * 1024 * 1024
 
 
 # Set (via shard_local_dispatch) while tracing a shard_map body: inside
@@ -166,10 +170,29 @@ def channel_allowed(c: int) -> bool:
         return True
 
 
+def transposed() -> bool:
+    """Experimental layout-matched kernel variant (``DMF_FUSED_EPILOGUE_T=1``).
+
+    The relayout tax behind the {512} default (:func:`channel_allowed`)
+    exists because the custom call demands the default ``{3,2,1,0}`` layout
+    of ``(B,H,W,C)`` while XLA prefers ``{3,0,2,1}`` (physical H,W,B,C).
+    The transposed variant feeds the kernel a logically ``(H,W,B,C)``
+    array, whose *default* layout IS that physical order — if XLA elides
+    the boundary ``transpose`` ops as layout-only bitcasts, the shallow
+    sites get their 2.7-2.9x segment wins without the boundary copies.
+    Gated off pending that e2e measurement.
+    """
+    return os.environ.get("DMF_FUSED_EPILOGUE_T", "0") == "1"
+
+
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
     b, h, w, c = shape
-    return (c % 128 == 0
-            and h * w * c * jnp.dtype(dtype).itemsize <= _VMEM_BLOCK_LIMIT)
+    per_sample = h * w * c * jnp.dtype(dtype).itemsize
+    if transposed():
+        # sublane-aligned batch tiles: the minor-two dims are (bt, C), so
+        # bt must be a multiple of 8 for full vreg/DMA utilization
+        return c % 128 == 0 and b % 8 == 0 and per_sample <= _VMEM_BLOCK_LIMIT_T // 8
+    return c % 128 == 0 and per_sample <= _VMEM_BLOCK_LIMIT
 
 
 def _epilogue_kernel(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -203,6 +226,92 @@ def _epilogue_kernel(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     s = jax.nn.sigmoid(s + b2_ref[...].astype(jnp.float32))  # (bt, C) fp32
     out_ref[...] = (flat.astype(jnp.float32) * s[:, None, :]
                     ).reshape(bt, H, W, C).astype(x.dtype)
+
+
+def _epilogue_kernel_t(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, out_ref, *, n_pix: int, drop_rate: float):
+    """Layout-matched variant: blocks are (H, W, bt, C) — the default
+    layout of this logical shape equals XLA's preferred physical
+    activation layout (channels minor, then batch), see :func:`transposed`.
+    """
+    x = x_ref[...]  # (H, W, bt, C)
+    H, W, bt, C = x.shape
+    y32 = x.astype(jnp.float32) + id_ref[...].astype(jnp.float32)
+    y32 = 0.5 * y32 * (1.0 + _erf(y32 * 0.7071067811865476))  # exact GELU
+    y = y32.astype(x.dtype)
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        bits = pltpu.prng_random_bits((H, W, bt, C))
+        ubits = pltpu.bitcast(bits, jnp.uint32)
+        keep_thresh = jnp.uint32(
+            min(int((1.0 - drop_rate) * (1 << 32)), (1 << 32) - 1))
+        keep = (ubits < keep_thresh).astype(x.dtype)
+        y = y * keep * jnp.asarray(1.0 / (1.0 - drop_rate), x.dtype)
+    flat = y.reshape(n_pix, bt, C)  # leading-dim collapse only
+    pool = (flat.astype(jnp.float32).sum(axis=0)
+            / float(n_pix)).astype(x.dtype)  # (bt, C)
+    h = jnp.dot(pool, w1_ref[...], preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = (0.5 * h * (1.0 + _erf(h * 0.7071067811865476))).astype(x.dtype)
+    s = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    s = jax.nn.sigmoid(s + b2_ref[...].astype(jnp.float32))  # (bt, C) fp32
+    out_ref[...] = (flat.astype(jnp.float32) * s[None, :, :]
+                    ).reshape(H, W, bt, C).astype(x.dtype)
+
+
+def _batch_tile_t(b: int, per_sample_bytes: int) -> int:
+    """Largest multiple-of-8 divisor of ``b`` fitting the block budget
+    (sublane-full tiles); non-multiple-of-8 batches (tests, odd tails)
+    fall back to the plain divisor rule under the same budget."""
+    if b % 8:
+        return _batch_tile(b, per_sample_bytes, budget=_VMEM_BLOCK_LIMIT_T)
+    bt = max(8, min(b, _VMEM_BLOCK_LIMIT_T // max(per_sample_bytes, 1))
+             // 8 * 8)
+    while b % bt:
+        bt -= 8
+    return bt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("drop_rate", "interpret"))
+def _epilogue_pallas_t(seed, x, identity, w1, b1, w2, b2,
+                       drop_rate: float = 0.0, interpret: bool = False):
+    B, H, W, C = x.shape
+    mid = w1.shape[1]
+    per_sample = H * W * C * jnp.dtype(x.dtype).itemsize
+    bt = _batch_tile_t(B, per_sample)
+    # layout-only under XLA's preferred activation layout (see docstrings)
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    idt = jnp.transpose(identity, (1, 2, 0, 3))
+    map_spec = pl.BlockSpec((H, W, bt, C), lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_epilogue_kernel_t, n_pix=H * W,
+                          drop_rate=drop_rate),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
+            map_spec,  # x
+            map_spec,  # identity
+            pl.BlockSpec((C, mid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mid, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=map_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W, B, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                ("arbitrary",) if drop_rate > 0.0 else ("parallel",)),
+            vmem_limit_bytes=_VMEM_KERNEL_LIMIT,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, xt, idt, w1, b1, w2, b2)
+    return jnp.transpose(out, (2, 0, 1, 3))
 
 
 @functools.partial(jax.jit,
@@ -248,11 +357,14 @@ def _epilogue_pallas(seed, x, identity, w1, b1, w2, b2,
     )(seed, x, identity, w1, b1, w2, b2)
 
 
-def _make_epilogue_fn(drop_rate: float, interpret: bool):
+def _make_epilogue_fn(drop_rate: float, interpret: bool,
+                      use_t: bool = False):
+    impl = _epilogue_pallas_t if use_t else _epilogue_pallas
+
     @jax.custom_batching.custom_vmap
     def fn(seed, x, identity, w1, b1, w2, b2):
-        return _epilogue_pallas(seed, x, identity, w1, b1, w2, b2,
-                                drop_rate=drop_rate, interpret=interpret)
+        return impl(seed, x, identity, w1, b1, w2, b2,
+                    drop_rate=drop_rate, interpret=interpret)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, seed, x, identity, w1, b1, w2, b2):
@@ -305,7 +417,7 @@ def se_epilogue(x: jnp.ndarray, identity: jnp.ndarray,
         seed = kd.reshape(-1)[-1:].astype(jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    key = (round(float(drop_rate), 8), bool(interpret))
+    key = (round(float(drop_rate), 8), bool(interpret), transposed())
     if key not in _FNS:
         _FNS[key] = _make_epilogue_fn(*key)
     return _FNS[key](

@@ -102,6 +102,45 @@ class TestEpilogueKernel:
         assert a.shape == (3,) + setup["x"].shape
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_transposed_variant_matches(self, setup, monkeypatch):
+        """DMF_FUSED_EPILOGUE_T=1 selects the layout-matched (H,W,B,C)
+        kernel; same numerics as the default variant, incl. under vmap
+        and the dropout interpret stub."""
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_T", "1")
+        ref = xla_ref(setup)
+        out = se_epilogue(setup["x"], setup["idn"], setup["w1"], setup["b1"],
+                          setup["w2"], setup["b2"], interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+        p = 0.4
+        outd = se_epilogue(setup["x"], setup["idn"], setup["w1"],
+                           setup["b1"], setup["w2"], setup["b2"],
+                           drop_rate=p, rng=jax.random.PRNGKey(3),
+                           interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(outd),
+            np.asarray(xla_ref(setup, drop_scale=1.0 / (1.0 - p))),
+            rtol=2e-5, atol=2e-6)
+        xs = jnp.stack([setup["x"], setup["x"] * 0.5])
+        ids = jnp.stack([setup["idn"], setup["idn"]])
+        batched = jax.vmap(lambda xi, ii: se_epilogue(
+            xi, ii, setup["w1"], setup["b1"], setup["w2"], setup["b2"],
+            interpret=True))(xs, ids)
+        np.testing.assert_allclose(np.asarray(batched[1]),
+                                   np.asarray(xla_ref(
+                                       dict(setup, x=setup["x"] * 0.5))),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_transposed_batch_tile(self):
+        from dmf_tpu.ops.epilogue_pallas import _batch_tile_t
+
+        # multiple-of-8 batches get sublane-full multiple-of-8 tiles
+        assert _batch_tile_t(1152, 512 * 1024) == 16
+        assert _batch_tile_t(8, 16 * 1024 * 1024) == 8  # floor is 8
+        assert _batch_tile_t(1152, 2 * 1024) % 8 == 0
+        # non-multiple-of-8 falls back to the plain divisor rule
+        assert _batch_tile_t(4, 1024) == 4
+
     def test_eval_gate_default_off(self, monkeypatch):
         # the drop-free eval dispatch measured an e2e LOSS (741 vs 766-771
         # vol/s — XLA co-fuses the eval chain into the preceding conv), so
