@@ -153,14 +153,18 @@ def channel_allowed(c: int) -> bool:
     [1152,32,32,256] maps).  Per-segment the kernel wins 2.7-2.9x at
     every site (module docstring), but e2e the relayout tax flips the
     shallow sites: tta_mc B=32 sweep (bench.py, v5e, 2026-08-18) —
-    all sites 96.5 vol/s, {128,512} 100.9, {256,512} 99.0, {512} 103.5.  Unset therefore defaults to the measured winner
-    ``{512}`` (the 16x16 site, where the map is small enough that the
-    boundary relayouts vanish).  Widths outside the sweep (e.g. 768-ch
-    transformer configs) need an explicit opt-in.
+    all sites 96.5 vol/s, {128,512} 100.9, {256,512} 99.0, {512} 103.5.
+    That tax only applies to the (B,H,W,C) kernel: the layout-matched
+    variant (:func:`transposed`, the default) measured best at ALL sites
+    (109.3), so unset resolves to every eligible site when transposed,
+    else the measured untransposed winner ``{512}`` (the 16x16 site,
+    where the boundary maps are small).
     """
     v = os.environ.get("DMF_FUSED_EPILOGUE_CH")
     if v is None:
-        return c in _DEFAULT_CH
+        # transposed kernel: no boundary tax, every site wins (109.3);
+        # (B,H,W,C) kernel: only the 16x16x512 site survives the tax
+        return True if transposed() else c in _DEFAULT_CH
     v = v.strip()
     if not v or v.lower() == "all":
         return True
@@ -171,18 +175,22 @@ def channel_allowed(c: int) -> bool:
 
 
 def transposed() -> bool:
-    """Experimental layout-matched kernel variant (``DMF_FUSED_EPILOGUE_T=1``).
+    """Layout-matched kernel variant gate (``DMF_FUSED_EPILOGUE_T``,
+    default ON — measured winner).
 
-    The relayout tax behind the {512} default (:func:`channel_allowed`)
-    exists because the custom call demands the default ``{3,2,1,0}`` layout
-    of ``(B,H,W,C)`` while XLA prefers ``{3,0,2,1}`` (physical H,W,B,C).
-    The transposed variant feeds the kernel a logically ``(H,W,B,C)``
-    array, whose *default* layout IS that physical order — if XLA elides
-    the boundary ``transpose`` ops as layout-only bitcasts, the shallow
-    sites get their 2.7-2.9x segment wins without the boundary copies.
-    Gated off pending that e2e measurement.
+    The relayout tax that first forced a {512}-only site default
+    (:func:`channel_allowed`) exists because the custom call demands the
+    default ``{3,2,1,0}`` layout of ``(B,H,W,C)`` while XLA prefers
+    ``{3,0,2,1}`` (physical H,W,B,C).  The transposed variant feeds the
+    kernel a logically ``(H,W,B,C)`` array, whose *default* layout IS
+    that physical order — the boundary ``transpose`` ops elide to
+    layout-only bitcasts and the shallow sites get their 2.7-2.9x segment
+    wins without the boundary copies.  Measured e2e (bench.py --mode
+    tta_mc B=32, v5e, 2026-08-18): transposed at ALL sites 109.3 vol/s vs
+    103.5 untransposed-{512} vs 96.5 untransposed-all vs 87.4 pure XLA.
+    ``DMF_FUSED_EPILOGUE_T=0`` reverts to the (B,H,W,C) kernel.
     """
-    return os.environ.get("DMF_FUSED_EPILOGUE_T", "0") == "1"
+    return os.environ.get("DMF_FUSED_EPILOGUE_T", "1") == "1"
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:

@@ -102,11 +102,12 @@ class TestEpilogueKernel:
         assert a.shape == (3,) + setup["x"].shape
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_transposed_variant_matches(self, setup, monkeypatch):
-        """DMF_FUSED_EPILOGUE_T=1 selects the layout-matched (H,W,B,C)
-        kernel; same numerics as the default variant, incl. under vmap
-        and the dropout interpret stub."""
-        monkeypatch.setenv("DMF_FUSED_EPILOGUE_T", "1")
+    @pytest.mark.parametrize("t", ["1", "0"])
+    def test_both_variants_match(self, setup, monkeypatch, t):
+        """DMF_FUSED_EPILOGUE_T selects the layout-matched (H,W,B,C)
+        kernel (default) or the (B,H,W,C) one; identical numerics either
+        way, incl. under vmap and the dropout interpret stub."""
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_T", t)
         ref = xla_ref(setup)
         out = se_epilogue(setup["x"], setup["idn"], setup["w1"], setup["b1"],
                           setup["w2"], setup["b2"], interpret=True)
@@ -167,12 +168,17 @@ class TestEpilogueKernel:
         assert not fits_vmem((8, 32, 32, 514), jnp.bfloat16)  # lane-misaligned
 
     def test_channel_allowlist(self, monkeypatch):
-        # the per-site sweep (module docstring) measured the 512-ch site as
-        # the only e2e winner: unset defaults to {512}; "all" re-enables
-        # every site; a comma list selects explicitly; junk fails open
+        # per-site sweep (module docstring): with the layout-matched
+        # kernel (default) every site wins -> unset allows all; the
+        # (B,H,W,C) kernel pays a boundary relayout tax -> unset
+        # restricts to the measured {512} winner; "all"/comma-list/junk
+        # override as documented
         from dmf_tpu.ops.epilogue_pallas import channel_allowed
 
         monkeypatch.delenv("DMF_FUSED_EPILOGUE_CH", raising=False)
+        monkeypatch.delenv("DMF_FUSED_EPILOGUE_T", raising=False)
+        assert channel_allowed(512) and channel_allowed(128)
+        monkeypatch.setenv("DMF_FUSED_EPILOGUE_T", "0")
         assert channel_allowed(512)
         assert not channel_allowed(128)
         assert not channel_allowed(256)
