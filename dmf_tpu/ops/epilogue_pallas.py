@@ -267,14 +267,14 @@ def _epilogue_kernel_t(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref,
                     ).reshape(H, W, bt, C).astype(x.dtype)
 
 
-def _batch_tile_t(b: int, per_sample_bytes: int) -> int:
+def _batch_tile_t(b: int, per_sample_bytes: int,
+                  budget: int = _VMEM_BLOCK_LIMIT_T) -> int:
     """Largest multiple-of-8 divisor of ``b`` fitting the block budget
-    (sublane-full tiles); non-multiple-of-8 batches (tests, odd tails)
-    fall back to the plain divisor rule under the same budget."""
-    if b % 8:
-        return _batch_tile(b, per_sample_bytes, budget=_VMEM_BLOCK_LIMIT_T)
-    bt = max(8, min(b, _VMEM_BLOCK_LIMIT_T // max(per_sample_bytes, 1))
-             // 8 * 8)
+    (sublane-full tiles); batches/budgets with no such divisor (tests,
+    odd tails, tight eval budget) fall back to the plain divisor rule."""
+    if b % 8 or budget // max(per_sample_bytes, 1) < 8:
+        return _batch_tile(b, per_sample_bytes, budget=budget)
+    bt = max(8, min(b, budget // max(per_sample_bytes, 1)) // 8 * 8)
     while b % bt:
         bt -= 8
     return bt
@@ -287,7 +287,14 @@ def _epilogue_pallas_t(seed, x, identity, w1, b1, w2, b2,
     B, H, W, C = x.shape
     mid = w1.shape[1]
     per_sample = H * W * C * jnp.dtype(x.dtype).itemsize
-    bt = _batch_tile_t(B, per_sample)
+    # drop-free (parallel grid): XLA pipelines the windows at 2 buffering
+    # levels AND Mosaic's register allocator spills ~10x the block size of
+    # fp32 temporaries — 8 MB blocks blew the 128 MB VMEM at the fp B=128
+    # geometry (measured compile OOM, 2026-08-18); 2 MB blocks (possibly
+    # sublane-partial) keep the opt-in eval dispatch compilable.  The
+    # MC path (drop>0, arbitrary grid) keeps the measured-win tiling.
+    budget = _VMEM_BLOCK_LIMIT_T if drop_rate > 0.0 else _VMEM_BLOCK_LIMIT
+    bt = _batch_tile_t(B, per_sample, budget=budget)
     # layout-only under XLA's preferred activation layout (see docstrings)
     xt = jnp.transpose(x, (1, 2, 0, 3))
     idt = jnp.transpose(identity, (1, 2, 0, 3))

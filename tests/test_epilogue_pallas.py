@@ -137,10 +137,14 @@ class TestEpilogueKernel:
 
         # multiple-of-8 batches get sublane-full multiple-of-8 tiles
         assert _batch_tile_t(1152, 512 * 1024) == 16
-        assert _batch_tile_t(8, 16 * 1024 * 1024) == 8  # floor is 8
         assert _batch_tile_t(1152, 2 * 1024) % 8 == 0
-        # non-multiple-of-8 falls back to the plain divisor rule
+        # no multiple-of-8 tile fits the budget -> plain divisor rule
+        # (sublane-partial but compilable)
+        assert _batch_tile_t(8, 16 * 1024 * 1024) == 1
+        # non-multiple-of-8 batch falls back too
         assert _batch_tile_t(4, 1024) == 4
+        # the drop-free path shrinks the budget (VMEM spill headroom)
+        assert _batch_tile_t(128, 256 * 1024, budget=2 * 1024 * 1024) == 8
 
     def test_eval_gate_default_off(self, monkeypatch):
         # the drop-free eval dispatch measured an e2e LOSS (741 vs 766-771
