@@ -269,11 +269,17 @@ def _epilogue_kernel_t(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref,
 
 def _batch_tile_t(b: int, per_sample_bytes: int,
                   budget: int = _VMEM_BLOCK_LIMIT_T) -> int:
-    """Largest multiple-of-8 divisor of ``b`` fitting the block budget
-    (sublane-full tiles); batches/budgets with no such divisor (tests,
-    odd tails, tight eval budget) fall back to the plain divisor rule."""
-    if b % 8 or budget // max(per_sample_bytes, 1) < 8:
-        return _batch_tile(b, per_sample_bytes, budget=budget)
+    """Largest multiple-of-8 divisor of ``b`` fitting the block budget.
+
+    The Mosaic lowering requires the second-minor block dim — ``bt``
+    here — to be a multiple of 8 OR equal to the full array dim, so
+    sublane-partial tiles are not an option: batches not divisible by 8
+    (direct/interpret test calls) go whole-batch in one block, and
+    :func:`se_epilogue` only dispatches this variant on TPU when an
+    8-sample block fits the budget (falling back to the (B,H,W,C)
+    kernel otherwise)."""
+    if b % 8:
+        return b
     bt = max(8, min(b, budget // max(per_sample_bytes, 1)) // 8 * 8)
     while b % bt:
         bt -= 8
@@ -287,11 +293,10 @@ def _epilogue_pallas_t(seed, x, identity, w1, b1, w2, b2,
     B, H, W, C = x.shape
     mid = w1.shape[1]
     per_sample = H * W * C * jnp.dtype(x.dtype).itemsize
-    # drop-free (parallel grid): XLA pipelines the windows at 2 buffering
-    # levels AND Mosaic's register allocator spills ~10x the block size of
-    # fp32 temporaries — 8 MB blocks blew the 128 MB VMEM at the fp B=128
-    # geometry (measured compile OOM, 2026-08-18); 2 MB blocks (possibly
-    # sublane-partial) keep the opt-in eval dispatch compilable.  The
+    # drop-free (parallel grid): window pipelining at 2 buffering levels
+    # plus ~10x-block-size register-allocator spill slots blew the 128 MB
+    # VMEM on 8 MB (bt=32) blocks at the fp B=128 geometry (measured
+    # compile OOM, 2026-08-18) — tile under the 2 MB budget instead.  The
     # MC path (drop>0, arbitrary grid) keeps the measured-win tiling.
     budget = _VMEM_BLOCK_LIMIT_T if drop_rate > 0.0 else _VMEM_BLOCK_LIMIT
     bt = _batch_tile_t(B, per_sample, budget=budget)
@@ -432,7 +437,14 @@ def se_epilogue(x: jnp.ndarray, identity: jnp.ndarray,
         seed = kd.reshape(-1)[-1:].astype(jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    key = (round(float(drop_rate), 8), bool(interpret), transposed())
+    # the layout-matched variant needs sublane-full (multiple-of-8) batch
+    # tiles (see _batch_tile_t); when an 8-sample block exceeds the block
+    # budget, or the batch can't tile by 8, use the (B,H,W,C) kernel
+    per_sample = H * W * C * jnp.dtype(x.dtype).itemsize
+    budget = _VMEM_BLOCK_LIMIT_T if drop_rate > 0.0 else _VMEM_BLOCK_LIMIT
+    use_t = transposed() and (interpret or
+                              (B % 8 == 0 and 8 * per_sample <= budget))
+    key = (round(float(drop_rate), 8), bool(interpret), use_t)
     if key not in _FNS:
         _FNS[key] = _make_epilogue_fn(*key)
     return _FNS[key](

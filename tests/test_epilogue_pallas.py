@@ -138,13 +138,27 @@ class TestEpilogueKernel:
         # multiple-of-8 batches get sublane-full multiple-of-8 tiles
         assert _batch_tile_t(1152, 512 * 1024) == 16
         assert _batch_tile_t(1152, 2 * 1024) % 8 == 0
-        # no multiple-of-8 tile fits the budget -> plain divisor rule
-        # (sublane-partial but compilable)
-        assert _batch_tile_t(8, 16 * 1024 * 1024) == 1
-        # non-multiple-of-8 batch falls back too
+        # Mosaic forbids sublane-partial tiles: non-multiple-of-8 batches
+        # go whole-batch (bt == B is always legal)
         assert _batch_tile_t(4, 1024) == 4
+        # the floor is one 8-sample block; se_epilogue only dispatches the
+        # variant when that fits the budget
+        assert _batch_tile_t(8, 16 * 1024 * 1024) == 8
         # the drop-free path shrinks the budget (VMEM spill headroom)
         assert _batch_tile_t(128, 256 * 1024, budget=2 * 1024 * 1024) == 8
+
+    def test_drop_free_budget_excludes_oversized_blocks(self):
+        """Pin the dispatch predicate that fixed the measured fp B=128
+        compile OOM: a drop-free 32x32x256-fp32 site (1 MB/sample) must
+        NOT qualify for the transposed kernel under the 2 MB budget
+        (an 8-sample block would be 8 MB and the lowering forbids the
+        sublane-partial alternative), while the MC-path 8 MB budget still
+        admits every flagship bf16 site."""
+        from dmf_tpu.ops import epilogue_pallas as ep
+
+        assert 8 * (32 * 32 * 256 * 4) > ep._VMEM_BLOCK_LIMIT
+        for h, w, c in ((64, 64, 128), (32, 32, 256), (16, 16, 512)):
+            assert 8 * (h * w * c * 2) <= ep._VMEM_BLOCK_LIMIT_T
 
     def test_eval_gate_default_off(self, monkeypatch):
         # the drop-free eval dispatch measured an e2e LOSS (741 vs 766-771
