@@ -128,8 +128,11 @@ def enabled_eval() -> bool:
     (bench.py --batch 128) measured 741 vol/s with the gate on vs
     766-771 on the XLA route: XLA co-fuses the eval epilogue chain with
     the preceding conv's output, so the isolated kernel only adds
-    dispatch overhead.  Default OFF on measurement;
-    ``DMF_FUSED_EPILOGUE_EVAL=0|1`` overrides.
+    dispatch overhead.  Re-measured with the layout-matched variant
+    mix (2026-08-18): 828.6 vs 857.8 on the XLA route — the conv
+    co-fusion advantage stands independent of the relayout tax.
+    Default OFF on measurement; ``DMF_FUSED_EPILOGUE_EVAL=0|1``
+    overrides.
     """
     v = os.environ.get("DMF_FUSED_EPILOGUE_EVAL")
     if v is not None:
