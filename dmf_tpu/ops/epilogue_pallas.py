@@ -197,13 +197,19 @@ def transposed() -> bool:
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
+    """Site eligibility for ANY kernel variant (dispatch gate in
+    models/layers.py).  Mirrors :func:`se_epilogue`'s per-call variant
+    choice: the layout-matched kernel needs a batch divisible by 8 and an
+    8-sample block within its budget; everything else (odd tail batches,
+    bigger maps) is eligible iff the (B,H,W,C) kernel's one-sample block
+    fits its budget."""
     b, h, w, c = shape
+    if c % 128:
+        return False
     per_sample = h * w * c * jnp.dtype(dtype).itemsize
-    if transposed():
-        # sublane-aligned batch tiles: the minor-two dims are (bt, C), so
-        # bt must be a multiple of 8 for full vreg/DMA utilization
-        return c % 128 == 0 and b % 8 == 0 and per_sample <= _VMEM_BLOCK_LIMIT_T // 8
-    return c % 128 == 0 and per_sample <= _VMEM_BLOCK_LIMIT
+    if transposed() and b % 8 == 0 and 8 * per_sample <= _VMEM_BLOCK_LIMIT_T:
+        return True
+    return per_sample <= _VMEM_BLOCK_LIMIT
 
 
 def _epilogue_kernel(seed_ref, x_ref, id_ref, w1_ref, b1_ref, w2_ref, b2_ref,

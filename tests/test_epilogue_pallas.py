@@ -184,6 +184,9 @@ class TestEpilogueKernel:
         assert not enabled()
         assert fits_vmem((8, 32, 32, 512), jnp.bfloat16)
         assert not fits_vmem((8, 32, 32, 514), jnp.bfloat16)  # lane-misaligned
+        # odd tail batches can't take the layout-matched variant (batch
+        # must tile by 8) but stay eligible via the (B,H,W,C) kernel
+        assert fits_vmem((30, 32, 32, 256), jnp.bfloat16)
 
     def test_channel_allowlist(self, monkeypatch):
         # per-site sweep (module docstring): with the layout-matched
