@@ -398,7 +398,7 @@ def _make_epilogue_fn(drop_rate: float, interpret: bool,
     @fn.def_vmap
     def _rule(axis_size, in_batched, seed, x, identity, w1, b1, w2, b2):
         s_b, x_b, id_b, *w_b = in_batched
-        if not (x_b and id_b) or any(w_b):
+        if not (x_b or id_b) or any(w_b):
             args = tuple(
                 a if bb else jnp.broadcast_to(a, (axis_size,) + a.shape)
                 for a, bb in zip((seed, x, identity, w1, b1, w2, b2),
@@ -406,6 +406,16 @@ def _make_epilogue_fn(drop_rate: float, interpret: bool,
             )
             return jax.lax.map(lambda t: fn(*t), args), True
         P = axis_size
+        # one of x/identity may be unbatched — the MC predictor hoists the
+        # deterministic prefix out of the pass vmap, so a block whose
+        # residual input comes straight from the prefix sees an unbatched
+        # identity.  Broadcasting + folding keeps the single fused grid;
+        # the old lax.map fallback serialized P kernel launches here
+        # (profiled: 2x 4.2 ms/step of while-loop at the 32^2x128 sites).
+        if not x_b:
+            x = jnp.broadcast_to(x, (P,) + x.shape)
+        if not id_b:
+            identity = jnp.broadcast_to(identity, (P,) + identity.shape)
         B, H, W, C = x.shape[1:]
         # fold the MC-pass axis into the batch; fold the per-pass seeds into
         # one tile-salted stream (distinct passes already occupy distinct

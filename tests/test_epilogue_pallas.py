@@ -87,6 +87,25 @@ class TestEpilogueKernel:
                 np.asarray(batched[i]), np.asarray(one(xs[i], ids[i])),
                 rtol=2e-5, atol=2e-6)
 
+    def test_vmap_unbatched_identity_folds(self, setup):
+        """The MC predictor hoists the deterministic prefix out of the
+        pass vmap, so the block's residual input arrives unbatched; the
+        vmap rule must broadcast+fold (one fused grid), not serialize a
+        lax.map per pass — and stay numerically exact."""
+        xs = jnp.stack([setup["x"], setup["x"] * 0.5, -setup["x"]])
+
+        def one(xi):
+            return se_epilogue(xi, setup["idn"], setup["w1"], setup["b1"],
+                               setup["w2"], setup["b2"], interpret=True)
+
+        jaxpr = jax.make_jaxpr(jax.vmap(one))(xs)
+        assert "while" not in str(jaxpr)  # no lax.map fallback
+        batched = jax.vmap(one)(xs)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(batched[i]), np.asarray(one(xs[i])),
+                rtol=2e-5, atol=2e-6)
+
     def test_vmap_with_per_pass_rngs_runs_deterministically(self, setup):
         """The MC predictor shape: vmap over dropout keys (batched seeds
         fold into one tile-salted stream)."""
