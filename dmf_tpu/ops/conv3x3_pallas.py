@@ -1,0 +1,141 @@
+"""EXPERIMENTAL fused 3x3-conv + BN + GELU Pallas kernel (serving path).
+
+Target: the profiled emitter outlier in fp serving (README "Performance
+status"): XLA lowers the ``neck_f1_conv1`` 3x3 128->128 convolution at 64^2
+(reference counterpart: the adapter-neck convs built at
+/root/reference/code/model_module.py:552-618) with its
+``EmitAllBatchInSublanes`` emitter at ~2.7 ms vs a ~1.0 ms conv roofline —
+XLA's own cost model predicts the 2.85M cycles, i.e. it knows no better
+emitter for this geometry.  ~3.7% of the fp serving step.
+
+Design: one grid step per small batch tile with the WHOLE feature map
+VMEM-resident.  The 3x3 window unrolls into 9 accumulated
+(bt*H*W, Cin) x (Cin, Cout) MXU matmuls over shifted views of the padded
+block — whole-map dots instead of the row-wise windowing the XLA emitter
+picks here.  (A single 9*Cin-deep im2col matmul would be preferable, but
+Mosaic rejects the lane-dim concat of shifted views: "offset mismatch on
+non-concat dimension".)  The inference
+epilogue — conv bias, BatchNorm running-stats affine, exact GELU — fuses
+into the same pass: with conv bias ``b`` and BN ``(gamma, beta, mean,
+var)``, the kernel applies ``gelu(conv(x) * s + t)`` where
+``s = gamma/sqrt(var+eps)`` and ``t = (b - mean) * s + beta``.
+
+Forward/serving only (training keeps the differentiable XLA path).
+Dispatch is opt-in pending an on-chip measured win (scripts/bench_conv3x3.py
+microbench + bench.py e2e), per the repo's measured-win kernel policy.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .se_pallas import _erf, _VMEM_KERNEL_LIMIT
+
+# whole-map blocks: x block + fp32 accumulator + out block per grid step
+_BLOCK_BUDGET = 2 * 1024 * 1024
+# largest per-sample map the dispatch admits (bt=1 whole-map block)
+_MAX_BLOCK = 8 * 1024 * 1024
+
+
+def neck_enabled() -> bool:
+    """Measured-win gate for the adapter-neck dispatch (models/adapter.py).
+
+    Microbenched in-context win at the profiled outlier geometry
+    (scripts/bench_conv3x3.py, v5e, 2026-08-19: marginal stage cost
+    4.68 ms XLA -> 0.92 ms kernel at B=128 64^2 128->128 bf16);
+    ``DMF_FUSED_NECK=0|1`` overrides the default, which follows the
+    end-to-end bench.py measurement.
+    """
+    return os.environ.get("DMF_FUSED_NECK", "0") == "1"
+
+
+def geometry_ok(shape, cout: int, dtype) -> bool:
+    """Dispatch eligibility: lane-aligned channels both sides and a
+    whole feature map within the VMEM block cap."""
+    if len(shape) != 4:
+        return False
+    b, h, w, cin = shape
+    return (cin % 128 == 0 and cout % 128 == 0
+            and h * w * cin * jnp.dtype(dtype).itemsize <= _MAX_BLOCK)
+
+
+def _conv_kernel(x_ref, w_ref, s_ref, t_ref, out_ref, *, H: int, W: int):
+    # Mosaic rejects a lane-dim concat of the 9 shifted views ("offset
+    # mismatch on non-concat dimension"), so instead of one im2col matmul
+    # the window is 9 accumulated (bt*H*W, Cin) x (Cin, Cout) dots — each
+    # a single-contraction MXU matmul on a shifted slice of the padded
+    # VMEM-resident block.
+    x = x_ref[...]  # (bt, H, W, Cin)
+    bt, _, _, Cin = x.shape
+    Cout = w_ref.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for idx in range(9):
+        dy, dx = divmod(idx, 3)
+        sl = xp[:, dy:dy + H, dx:dx + W, :].reshape(bt * H * W, Cin)
+        d = jnp.dot(sl, w_ref[idx], preferred_element_type=jnp.float32)
+        y = d if y is None else y + d
+    y = y * s_ref[...].astype(jnp.float32) + t_ref[...].astype(jnp.float32)
+    y = 0.5 * y * (1.0 + _erf(y * 0.7071067811865476))  # exact GELU
+    out_ref[...] = y.astype(x.dtype).reshape(bt, H, W, Cout)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_pallas(x, wmat, s, t, interpret: bool = False):
+    B, H, W, Cin = x.shape
+    Cout = wmat.shape[2]
+    per_sample = H * W * Cin * jnp.dtype(x.dtype).itemsize
+    bt = max(1, min(B, _BLOCK_BUDGET // max(per_sample, 1)))
+    while B % bt:
+        bt -= 1
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, H=H, W=W),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, H, W, Cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, Cin, Cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, H, W, Cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_KERNEL_LIMIT,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, wmat, s, t)
+
+
+def conv3x3_bn_gelu(x: jnp.ndarray, kernel: jnp.ndarray,
+                    conv_bias: jnp.ndarray,
+                    bn_scale: jnp.ndarray, bn_bias: jnp.ndarray,
+                    bn_mean: jnp.ndarray, bn_var: jnp.ndarray,
+                    eps: float = 1e-5,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused ``gelu(batchnorm(conv3x3(x) + bias))`` inference segment.
+
+    ``x``: (B, H, W, Cin) NHWC; ``kernel``: (3, 3, Cin, Cout) HWIO (flax
+    layout); BN stats are the running (inference) moments.  SAME padding,
+    stride 1, no dilation.  Numerics: fp32 accumulation + fp32 affine +
+    exact GELU, cast to ``x.dtype`` on store — the same contract as the
+    XLA chain it replaces.
+    """
+    Cin, Cout = kernel.shape[2], kernel.shape[3]
+    # (ky, kx) row-major tap index, matching the kernel's shift order
+    wmat = kernel.reshape(9, Cin, Cout).astype(x.dtype)
+    s = (bn_scale / jnp.sqrt(bn_var + eps)).astype(jnp.float32)
+    t = ((conv_bias - bn_mean) * s + bn_bias).astype(jnp.float32)
+    return _conv3x3_pallas(x, wmat, s.reshape(1, Cout), t.reshape(1, Cout),
+                           interpret=interpret)
