@@ -59,6 +59,7 @@ class BackboneAdapter(nn.Module):
                 if (not train and not self.is_initializing()
                         and jax.default_backend() == "tpu"
                         and cp.neck_enabled()
+                        and cp.site_ok(f"neck_f{i + 1}_conv{j}")
                         and cp.geometry_ok(out.shape,
                                            self.out_channels[i], out.dtype)):
                     p = self.get_variable("params", f"neck_f{i + 1}_conv{j}")

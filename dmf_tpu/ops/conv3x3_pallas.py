@@ -55,6 +55,19 @@ def neck_enabled() -> bool:
     return os.environ.get("DMF_FUSED_NECK", "0") == "1"
 
 
+def site_ok(name: str) -> bool:
+    """Per-site allowlist for the neck dispatch (``DMF_FUSED_NECK_SITES``).
+
+    ``all`` (default) dispatches at every geometry-eligible site; a
+    comma-separated list (e.g. ``neck_f1_conv0,neck_f1_conv1``) restricts
+    to named sites — the same sweep mechanism the epilogue kernel's
+    ``DMF_FUSED_EPILOGUE_CH`` provided, so per-site e2e measurement needs
+    no code edits.
+    """
+    allow = os.environ.get("DMF_FUSED_NECK_SITES", "all")
+    return allow == "all" or name in allow.split(",")
+
+
 def geometry_ok(shape, cout: int, dtype) -> bool:
     """Dispatch eligibility: lane-aligned channels both sides and a
     whole feature map within the VMEM block cap."""

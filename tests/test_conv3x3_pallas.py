@@ -90,6 +90,15 @@ class TestConv3x3Kernel:
         assert not geometry_ok((128, 64, 64, 128), 96, jnp.bfloat16)
         assert not geometry_ok((8, 128, 128, 512), 128, jnp.bfloat16)  # 16MB
 
+    def test_site_allowlist(self, monkeypatch):
+        from dmf_tpu.ops.conv3x3_pallas import site_ok
+
+        assert site_ok("neck_f1_conv0")  # default: all sites
+        monkeypatch.setenv("DMF_FUSED_NECK_SITES",
+                           "neck_f1_conv0,neck_f1_conv1")
+        assert site_ok("neck_f1_conv1")
+        assert not site_ok("neck_f3_conv0")
+
     def test_odd_batch_tiles(self, setup):
         # B=3 forces bt=1 whole-map blocks
         s = dict(setup, x=jnp.concatenate(
