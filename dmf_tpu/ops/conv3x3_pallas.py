@@ -21,8 +21,20 @@ var)``, the kernel applies ``gelu(conv(x) * s + t)`` where
 ``s = gamma/sqrt(var+eps)`` and ``t = (b - mean) * s + beta``.
 
 Forward/serving only (training keeps the differentiable XLA path).
-Dispatch is opt-in pending an on-chip measured win (scripts/bench_conv3x3.py
-microbench + bench.py e2e), per the repo's measured-win kernel policy.
+Dispatch is opt-in per the repo's measured-win kernel policy, and the e2e
+measurement (v5e, 2026-08-19) says it must STAY opt-in for fp serving: the
+5x in-context microbench win at the outlier site (4.68 -> 0.92 ms,
+scripts/bench_conv3x3.py) inverts end-to-end — ``DMF_FUSED_NECK=1`` at all
+six neck sites measures **646.0 vol/s vs the 855.4 XLA baseline** (-24%)
+on the fp serving bench.  Same failure mode the (B,H,W,C) epilogue kernel
+exhibited before its layout-matched variant: the Mosaic custom call pins
+operands/results to the default ``{3,2,1,0}`` layout while XLA lays the
+surrounding activations out ``{3,0,2,1}``, so each of the six kernel
+boundaries pays relayout copies and un-fuses the neighboring chain, which
+the per-site marginal microbench cannot see.  A transposed ``(H,W,B,C)``
+variant (the fix that took the epilogue kernel from 96.5 to 109.3 vol/s)
+plus a ``DMF_FUSED_NECK_SITES`` sweep is the follow-up; until one measures
+an e2e win the XLA emitter keeps the site.
 """
 
 from __future__ import annotations
