@@ -26,7 +26,9 @@ measurement (v5e, 2026-08-19) says it must STAY opt-in for fp serving: the
 5x in-context microbench win at the outlier site (4.68 -> 0.92 ms,
 scripts/bench_conv3x3.py) inverts end-to-end — ``DMF_FUSED_NECK=1`` at all
 six neck sites measures **646.0 vol/s vs the 855.4 XLA baseline** (-24%)
-on the fp serving bench.  Same failure mode the (B,H,W,C) epilogue kernel
+on the fp serving bench and **94.9 vs 111.2 vol/s** (-15%) on TTA x MC
+uncertainty serving (the necks sit in the hoisted deterministic prefix
+there).  Same failure mode the (B,H,W,C) epilogue kernel
 exhibited before its layout-matched variant: the Mosaic custom call pins
 operands/results to the default ``{3,2,1,0}`` layout while XLA lays the
 surrounding activations out ``{3,0,2,1}``, so each of the six kernel
