@@ -92,6 +92,75 @@ def geometry_ok(shape, cout: int, dtype) -> bool:
             and h * w * cin * jnp.dtype(dtype).itemsize <= _MAX_BLOCK)
 
 
+def transposed_enabled() -> bool:
+    """Layout-matched ``(H,W,B,C)`` variant gate (``DMF_FUSED_NECK_T``,
+    default on whenever the neck dispatch itself is enabled) — the same
+    boundary-bitcast recipe that took the epilogue kernel from 96.5 to
+    109.3 vol/s.  Falls back to the (B,H,W,C) kernel when no sublane-full
+    batch tile divides B (mirroring the epilogue's per-call choice)."""
+    return os.environ.get("DMF_FUSED_NECK_T", "1") == "1"
+
+
+def _conv_kernel_t(x_ref, w_ref, s_ref, t_ref, out_ref, *, H: int, W: int):
+    # (H,W,bt,C) blocks: the default layout of this logical shape IS the
+    # {3,0,2,1} physical order XLA prefers for NHWC activations, so the
+    # transposes at the pallas_call boundary elide to layout-only bitcasts
+    # (see ops/epilogue_pallas.py for the measured diagnosis).  Window
+    # shifts move the two *leading* (pixel) dims; the matmul collapses
+    # them with the sublane batch tile — no lane-moving reshape.
+    x = x_ref[...]  # (H, W, bt, Cin)
+    bt, Cin = x.shape[2], x.shape[3]
+    Cout = w_ref.shape[2]
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    y = None
+    for idx in range(9):
+        dy, dx = divmod(idx, 3)
+        sl = xp[dy:dy + H, dx:dx + W].reshape(H * W * bt, Cin)
+        d = jnp.dot(sl, w_ref[idx], preferred_element_type=jnp.float32)
+        y = d if y is None else y + d
+    y = y * s_ref[...].astype(jnp.float32) + t_ref[...].astype(jnp.float32)
+    y = 0.5 * y * (1.0 + _erf(y * 0.7071067811865476))  # exact GELU
+    out_ref[...] = y.astype(x.dtype).reshape(H, W, bt, Cout)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+def _conv3x3_pallas_t(xt, wmat, s, t, bt: int, interpret: bool = False):
+    H, W, B, Cin = xt.shape
+    Cout = wmat.shape[2]
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_t, H=H, W=W),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((H, W, bt, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, Cin, Cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, bt, Cout), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, B, Cout), xt.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_KERNEL_LIMIT,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(xt, wmat, s, t)
+
+
+def _pick_bt_t(B: int, per_sample: int):
+    """Largest sublane-full (multiple-of-8) batch tile dividing B within
+    the block budget, or None → (B,H,W,C) fallback."""
+    cap = max(1, _BLOCK_BUDGET // max(per_sample, 1))
+    bt = min(B, (cap // 8) * 8)
+    while bt >= 8 and B % bt:
+        bt -= 8
+    return bt if bt >= 8 else None
+
+
 def _conv_kernel(x_ref, w_ref, s_ref, t_ref, out_ref, *, H: int, W: int):
     # Mosaic rejects a lane-dim concat of the 9 shifted views ("offset
     # mismatch on non-concat dimension"), so instead of one im2col matmul
@@ -164,5 +233,12 @@ def conv3x3_bn_gelu(x: jnp.ndarray, kernel: jnp.ndarray,
     wmat = kernel.reshape(9, Cin, Cout).astype(x.dtype)
     s = (bn_scale / jnp.sqrt(bn_var + eps)).astype(jnp.float32)
     t = ((conv_bias - bn_mean) * s + bn_bias).astype(jnp.float32)
-    return _conv3x3_pallas(x, wmat, s.reshape(1, Cout), t.reshape(1, Cout),
-                           interpret=interpret)
+    s, t = s.reshape(1, Cout), t.reshape(1, Cout)
+    B, H, W, _ = x.shape
+    if transposed_enabled():
+        bt = _pick_bt_t(B, H * W * Cin * jnp.dtype(x.dtype).itemsize)
+        if bt is not None:
+            yt = _conv3x3_pallas_t(jnp.transpose(x, (1, 2, 0, 3)), wmat,
+                                   s, t, bt=bt, interpret=interpret)
+            return jnp.transpose(yt, (2, 0, 1, 3))
+    return _conv3x3_pallas(x, wmat, s, t, interpret=interpret)

@@ -90,6 +90,40 @@ class TestConv3x3Kernel:
         assert not geometry_ok((128, 64, 64, 128), 96, jnp.bfloat16)
         assert not geometry_ok((8, 128, 128, 512), 128, jnp.bfloat16)  # 16MB
 
+    def test_transposed_variant_matches(self, setup):
+        """B=8 admits a sublane-full tile -> the layout-matched (H,W,B,C)
+        kernel runs; same numerics contract as the (B,H,W,C) variant."""
+        from dmf_tpu.ops.conv3x3_pallas import _pick_bt_t
+
+        s = dict(setup, x=jnp.tile(setup["x"], (4, 1, 1, 1)))
+        assert _pick_bt_t(8, s["x"][0].nbytes) == 8
+        out = conv3x3_bn_gelu(s["x"], s["k"], s["b"], s["g"], s["beta"],
+                              s["mu"], s["var"], interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xla_ref(s)),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_transposed_off_matches(self, setup, monkeypatch):
+        """DMF_FUSED_NECK_T=0 reverts to the (B,H,W,C) kernel with
+        identical results."""
+        s = dict(setup, x=jnp.tile(setup["x"], (4, 1, 1, 1)))
+        a = conv3x3_bn_gelu(s["x"], s["k"], s["b"], s["g"], s["beta"],
+                            s["mu"], s["var"], interpret=True)
+        monkeypatch.setenv("DMF_FUSED_NECK_T", "0")
+        b = conv3x3_bn_gelu(s["x"], s["k"], s["b"], s["g"], s["beta"],
+                            s["mu"], s["var"], interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+    def test_pick_bt_t(self):
+        from dmf_tpu.ops.conv3x3_pallas import _pick_bt_t
+
+        assert _pick_bt_t(2, 1024) is None          # no sublane-full tile
+        assert _pick_bt_t(128, 1 << 30) is None     # map too big for 8
+        assert _pick_bt_t(24, 64 * 1024) == 24
+        bt = _pick_bt_t(128, 128 * 1024)            # budget caps the tile
+        assert bt is not None and bt % 8 == 0 and 128 % bt == 0
+        assert bt * 128 * 1024 <= 2 * 1024 * 1024
+
     def test_site_allowlist(self, monkeypatch):
         from dmf_tpu.ops.conv3x3_pallas import site_ok
 
