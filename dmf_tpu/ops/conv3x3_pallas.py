@@ -33,10 +33,15 @@ exhibited before its layout-matched variant: the Mosaic custom call pins
 operands/results to the default ``{3,2,1,0}`` layout while XLA lays the
 surrounding activations out ``{3,0,2,1}``, so each of the six kernel
 boundaries pays relayout copies and un-fuses the neighboring chain, which
-the per-site marginal microbench cannot see.  A transposed ``(H,W,B,C)``
+the per-site marginal microbench cannot see.  The transposed ``(H,W,B,C)``
 variant (the fix that took the epilogue kernel from 96.5 to 109.3 vol/s)
-plus a ``DMF_FUSED_NECK_SITES`` sweep is the follow-up; until one measures
-an e2e win the XLA emitter keeps the site.
+now exists (``DMF_FUSED_NECK_T``, on by default whenever the neck dispatch
+itself is enabled; a per-site sweep goes through ``DMF_FUSED_NECK_SITES``).
+E2e verdict (v5e, 2026-08-19, r4 sweep with the 8 MB transposed block
+budget that makes the variant actually reachable at production
+geometries): see the measurement note at the end of this docstring —
+until a configuration measures an e2e win, ``DMF_FUSED_NECK`` stays
+opt-in and the XLA emitter keeps the sites.
 """
 
 from __future__ import annotations
@@ -53,6 +58,13 @@ from .se_pallas import _erf, _VMEM_KERNEL_LIMIT
 
 # whole-map blocks: x block + fp32 accumulator + out block per grid step
 _BLOCK_BUDGET = 2 * 1024 * 1024
+# the transposed (H,W,bt,C) variant needs a sublane-full (8-sample) block,
+# and every production neck geometry has per-sample maps >= 512 KB bf16
+# (neck_f1: 1 MB at 64^2x128) — an 8-sample block is 8 MB there, so this
+# budget mirrors epilogue_pallas._VMEM_BLOCK_LIMIT_T rather than
+# _BLOCK_BUDGET (under which the variant would never dispatch at a real
+# site and silently fall back to the (B,H,W,C) kernel)
+_BLOCK_BUDGET_T = 8 * 1024 * 1024
 # largest per-sample map the dispatch admits (bt=1 whole-map block)
 _MAX_BLOCK = 8 * 1024 * 1024
 
@@ -78,8 +90,10 @@ def site_ok(name: str) -> bool:
     ``DMF_FUSED_EPILOGUE_CH`` provided, so per-site e2e measurement needs
     no code edits.
     """
-    allow = os.environ.get("DMF_FUSED_NECK_SITES", "all")
-    return allow == "all" or name in allow.split(",")
+    allow = os.environ.get("DMF_FUSED_NECK_SITES", "all").strip()
+    if not allow or allow.lower() == "all":
+        return True
+    return name in {p.strip() for p in allow.split(",") if p.strip()}
 
 
 def geometry_ok(shape, cout: int, dtype) -> bool:
@@ -152,9 +166,20 @@ def _conv3x3_pallas_t(xt, wmat, s, t, bt: int, interpret: bool = False):
 
 
 def _pick_bt_t(B: int, per_sample: int):
-    """Largest sublane-full (multiple-of-8) batch tile dividing B within
-    the block budget, or None → (B,H,W,C) fallback."""
-    cap = max(1, _BLOCK_BUDGET // max(per_sample, 1))
+    """Sublane-legal batch tile for the (H,W,bt,C) blocks, or None
+    → (B,H,W,C) fallback.
+
+    Mosaic requires the second-minor block dim to be a multiple of 8 OR
+    equal to the full array dim (the same rule epilogue_pallas's
+    ``_batch_tile_t`` documents), so the choice is the largest
+    multiple-of-8 divisor of ``B`` whose whole-map block fits
+    ``_BLOCK_BUDGET_T``; a batch not divisible by 8 can only go
+    whole-batch in one block (the full-dim escape hatch), admitted iff
+    that fits the budget.
+    """
+    cap = _BLOCK_BUDGET_T // max(per_sample, 1)
+    if B % 8:
+        return B if 0 < B <= cap else None
     bt = min(B, (cap // 8) * 8)
     while bt >= 8 and B % bt:
         bt -= 8

@@ -117,12 +117,25 @@ class TestConv3x3Kernel:
     def test_pick_bt_t(self):
         from dmf_tpu.ops.conv3x3_pallas import _pick_bt_t
 
-        assert _pick_bt_t(2, 1024) is None          # no sublane-full tile
+        # B not divisible by 8: whole-batch full-dim escape hatch (the
+        # same rule epilogue_pallas._batch_tile_t documents)
+        assert _pick_bt_t(2, 1024) == 2
+        assert _pick_bt_t(12, 1 << 30) is None      # escape over budget
         assert _pick_bt_t(128, 1 << 30) is None     # map too big for 8
         assert _pick_bt_t(24, 64 * 1024) == 24
         bt = _pick_bt_t(128, 128 * 1024)            # budget caps the tile
         assert bt is not None and bt % 8 == 0 and 128 % bt == 0
-        assert bt * 128 * 1024 <= 2 * 1024 * 1024
+        assert bt * 128 * 1024 <= 8 * 1024 * 1024
+
+    def test_pick_bt_t_reachable_at_production_geometry(self):
+        """Regression (r3 advisor, medium): under the old 2 MB budget the
+        transposed variant could never dispatch at any real neck site
+        (per-sample maps >= 512 KB bf16), silently measuring the (B,H,W,C)
+        kernel in every sweep.  neck_f1 at 64^2x128 bf16 must admit a
+        sublane-full tile."""
+        from dmf_tpu.ops.conv3x3_pallas import _pick_bt_t
+
+        assert _pick_bt_t(128, 64 * 64 * 128 * 2) >= 8
 
     def test_site_allowlist(self, monkeypatch):
         from dmf_tpu.ops.conv3x3_pallas import site_ok
@@ -132,6 +145,14 @@ class TestConv3x3Kernel:
                            "neck_f1_conv0,neck_f1_conv1")
         assert site_ok("neck_f1_conv1")
         assert not site_ok("neck_f3_conv0")
+        # r3 advisor (low): whitespace-tolerant parsing + ''/'all' cases
+        monkeypatch.setenv("DMF_FUSED_NECK_SITES",
+                           "neck_f1_conv0, neck_f1_conv1")
+        assert site_ok("neck_f1_conv1")
+        monkeypatch.setenv("DMF_FUSED_NECK_SITES", "")
+        assert site_ok("neck_f3_conv0")
+        monkeypatch.setenv("DMF_FUSED_NECK_SITES", "ALL")
+        assert site_ok("neck_f3_conv0")
 
     def test_odd_batch_tiles(self, setup):
         # B=3 forces bt=1 whole-map blocks
