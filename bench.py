@@ -212,6 +212,9 @@ def main() -> None:
     from dmf_tpu.train.fusion import make_fusion_apply
 
     cfg = default_parameters(batch_size=args.batch)
+    from dmf_tpu.ops import kernel_gates
+
+    kernel_gates.configure(cfg.serving_kernels)
     dwi_mc = dataclasses.replace(
         resolve_backbone_config(cfg.dwi_model), input_size=args.image_size
     )

@@ -127,6 +127,11 @@ def load_config(args):
         updates.setdefault("batch_size", args.batch_size or 8)
     if updates:
         cfg = cfg.replace(**updates)
+    # install the config's serving-kernel knobs as process defaults
+    # (env vars still override; ops/kernel_gates.py documents the order)
+    from .ops import kernel_gates
+
+    kernel_gates.configure(cfg.serving_kernels)
     return cfg
 
 

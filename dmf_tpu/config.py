@@ -183,6 +183,53 @@ class EarlyStoppingConfig:
 
 
 @dataclass(frozen=True)
+class ServingKernelConfig:
+    """Serving-kernel and preprocessing knobs — the Config face of the
+    gate registry (``dmf_tpu.ops.kernel_gates``); no reference counterpart
+    (the reference has no serving kernels, SURVEY.md §2.11).
+
+    Every field defaults to ``None`` = "use the measured-winner default
+    baked into the gate function" (platform-aware, e.g. the fused epilogue
+    is on for single-device TPU only).  A non-``None`` value overrides
+    that default for the whole process once ``kernel_gates.configure``
+    runs (cli.py/bench.py do this after building the Config); the knob's
+    env var still overrides BOTH for one-off sweeps.  The README
+    "Serving kernel knobs" table lists each knob, its default, and the
+    e2e measurement that set it.
+    """
+
+    # residual+GELU+dropout+SE Pallas epilogue on MC-dropout passes
+    # (DMF_FUSED_EPILOGUE; default: on for 1-device TPU / shard_map body)
+    fused_epilogue: Optional[bool] = None
+    # same kernel on drop-free eval forwards (DMF_FUSED_EPILOGUE_EVAL;
+    # default off: XLA's conv co-fusion wins e2e)
+    fused_epilogue_eval: Optional[bool] = None
+    # layout-matched (H,W,B,C) epilogue variant (DMF_FUSED_EPILOGUE_T;
+    # default on: boundary transposes elide to bitcasts)
+    fused_epilogue_transposed: Optional[bool] = None
+    # epilogue site allowlist by channel width (DMF_FUSED_EPILOGUE_CH;
+    # 'all' or comma list; default: all sites transposed, '512' otherwise)
+    fused_epilogue_channels: Optional[str] = None
+    # SE-only Pallas kernel (DMF_FUSED_SE; default off: measured regression)
+    fused_se: Optional[bool] = None
+    # fused 3x3-conv+BN+GELU adapter necks (DMF_FUSED_NECK; default off:
+    # measured e2e regression, kernel kept as tested reference)
+    fused_neck: Optional[bool] = None
+    # layout-matched (H,W,B,C) neck variant (DMF_FUSED_NECK_T; default on
+    # whenever the neck dispatch is enabled)
+    fused_neck_transposed: Optional[bool] = None
+    # neck site allowlist (DMF_FUSED_NECK_SITES; 'all' or comma list of
+    # neck_f{1..3}_conv{0,1}; default all)
+    fused_neck_sites: Optional[str] = None
+    # hardware-bit-generator dropout keys in the MC vmap (DMF_MC_RBG;
+    # default: on on TPU)
+    mc_rbg: Optional[bool] = None
+    # Nyul landmark percentiles from every k-th pixel (DMF_NYUL_STRIDE;
+    # default 1 = exact; the serving bench uses 4, agreement 1.00)
+    nyul_stride: Optional[int] = None
+
+
+@dataclass(frozen=True)
 class ParallelConfig:
     """TPU mesh layout — no reference counterpart (reference is single-GPU,
     SURVEY.md §2.10); designed for v5e-8 per BASELINE.json."""
@@ -268,6 +315,10 @@ class Config:
     reference_compat: bool = True
 
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # serving kernel/preproc knobs (kernel_gates.configure installs them)
+    serving_kernels: ServingKernelConfig = field(
+        default_factory=ServingKernelConfig)
 
     # ------------------------------------------------------------------
     # Derived fields (reference computes these imperatively)
@@ -376,6 +427,7 @@ _DATACLASS_TYPES = {
     "ModelConfig": ModelConfig,
     "EarlyStoppingConfig": EarlyStoppingConfig,
     "ParallelConfig": ParallelConfig,
+    "ServingKernelConfig": ServingKernelConfig,
 }
 
 

@@ -23,11 +23,15 @@ import numpy as np
 def nyul_stride_default() -> int:
     """Serving-wide default for Nyul percentile subsampling.
 
-    ``DMF_NYUL_STRIDE=k`` estimates each image's landmark percentiles from
+    ``DMF_NYUL_STRIDE=k`` (or ``Config.serving_kernels.nyul_stride`` via
+    the gate registry) estimates each image's landmark percentiles from
     every k-th pixel (the transform still maps every pixel).  Unset -> 1
     (every pixel; exact rank statistics).  See ``nyul_transform_fast``.
     """
-    return max(int(os.environ.get("DMF_NYUL_STRIDE", "1")), 1)
+    from dmf_tpu.ops import kernel_gates
+
+    v = kernel_gates.integer("DMF_NYUL_STRIDE", "nyul_stride")
+    return max(v if v is not None else 1, 1)
 
 # ---------------------------------------------------------------------------
 # DWI per-channel z-score normalization (dataset.py:9-41)

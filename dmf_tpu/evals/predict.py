@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops import kernel_gates
 
 
 def tta_views(x: jnp.ndarray) -> jnp.ndarray:
@@ -56,8 +57,9 @@ def _dropout_key(r):
     a correct dropout ensemble either way (a PRNG impl is not a
     semantic), and the same key remains fully deterministic.
     """
-    v = os.environ.get("DMF_MC_RBG")
-    if (v != "1") if v is not None else (jax.default_backend() != "tpu"):
+    f = kernel_gates.flag("DMF_MC_RBG", "mc_rbg")
+    use_rbg = f if f is not None else (jax.default_backend() == "tpu")
+    if not use_rbg:
         return r
     kd = (jax.random.key_data(r)
           if jnp.issubdtype(r.dtype, jax.dtypes.prng_key)

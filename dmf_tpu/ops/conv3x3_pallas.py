@@ -54,6 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_gates
 from .se_pallas import _erf, _VMEM_KERNEL_LIMIT
 
 # whole-map blocks: x block + fp32 accumulator + out block per grid step
@@ -78,7 +79,8 @@ def neck_enabled() -> bool:
     ``DMF_FUSED_NECK=0|1`` overrides the default, which follows the
     end-to-end bench.py measurement.
     """
-    return os.environ.get("DMF_FUSED_NECK", "0") == "1"
+    f = kernel_gates.flag("DMF_FUSED_NECK", "fused_neck")
+    return False if f is None else f
 
 
 def site_ok(name: str) -> bool:
@@ -90,7 +92,8 @@ def site_ok(name: str) -> bool:
     ``DMF_FUSED_EPILOGUE_CH`` provided, so per-site e2e measurement needs
     no code edits.
     """
-    allow = os.environ.get("DMF_FUSED_NECK_SITES", "all").strip()
+    allow = (kernel_gates.text("DMF_FUSED_NECK_SITES", "fused_neck_sites")
+             or "all").strip()
     if not allow or allow.lower() == "all":
         return True
     return name in {p.strip() for p in allow.split(",") if p.strip()}
@@ -112,7 +115,8 @@ def transposed_enabled() -> bool:
     boundary-bitcast recipe that took the epilogue kernel from 96.5 to
     109.3 vol/s.  Falls back to the (B,H,W,C) kernel when no sublane-full
     batch tile divides B (mirroring the epilogue's per-call choice)."""
-    return os.environ.get("DMF_FUSED_NECK_T", "1") == "1"
+    f = kernel_gates.flag("DMF_FUSED_NECK_T", "fused_neck_transposed")
+    return True if f is None else f
 
 
 def _conv_kernel_t(x_ref, w_ref, s_ref, t_ref, out_ref, *, H: int, W: int):

@@ -62,6 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_gates
 from .se_pallas import _batch_tile, _erf, _VMEM_KERNEL_LIMIT
 
 # x + identity both resident per tile (plus out): tighter budget than the
@@ -108,9 +109,9 @@ def enabled() -> bool:
     predictor uses that path.  ``DMF_FUSED_EPILOGUE=0|1`` overrides
     either way.
     """
-    v = os.environ.get("DMF_FUSED_EPILOGUE")
-    if v is not None:
-        return v == "1"
+    f = kernel_gates.flag("DMF_FUSED_EPILOGUE", "fused_epilogue")
+    if f is not None:
+        return f
     if jax.default_backend() != "tpu":
         return False
     return jax.device_count() == 1 or _SHARD_LOCAL.get()
@@ -134,10 +135,8 @@ def enabled_eval() -> bool:
     Default OFF on measurement; ``DMF_FUSED_EPILOGUE_EVAL=0|1``
     overrides.
     """
-    v = os.environ.get("DMF_FUSED_EPILOGUE_EVAL")
-    if v is not None:
-        return v == "1"
-    return False
+    f = kernel_gates.flag("DMF_FUSED_EPILOGUE_EVAL", "fused_epilogue_eval")
+    return False if f is None else f
 
 
 # Measured winner of the per-site sweep below; "all"/comma-list override.
@@ -163,7 +162,7 @@ def channel_allowed(c: int) -> bool:
     else the measured untransposed winner ``{512}`` (the 16x16 site,
     where the boundary maps are small).
     """
-    v = os.environ.get("DMF_FUSED_EPILOGUE_CH")
+    v = kernel_gates.text("DMF_FUSED_EPILOGUE_CH", "fused_epilogue_channels")
     if v is None:
         # transposed kernel: no boundary tax, every site wins (109.3);
         # (B,H,W,C) kernel: only the 16x16x512 site survives the tax
@@ -193,7 +192,8 @@ def transposed() -> bool:
     103.5 untransposed-{512} vs 96.5 untransposed-all vs 87.4 pure XLA.
     ``DMF_FUSED_EPILOGUE_T=0`` reverts to the (B,H,W,C) kernel.
     """
-    return os.environ.get("DMF_FUSED_EPILOGUE_T", "1") == "1"
+    f = kernel_gates.flag("DMF_FUSED_EPILOGUE_T", "fused_epilogue_transposed")
+    return True if f is None else f
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_gates
+
 # per-grid-step tile + in/out double buffering must stay well under VMEM
 _VMEM_BLOCK_LIMIT = 4 * 1024 * 1024
 # Mosaic's default scoped-VMEM budget is 16 MB; in+out double-buffered
@@ -68,7 +70,8 @@ def enabled() -> bool:
     measurement (scripts/bench_se.py) showing it wins at the flagship
     geometries AND an end-to-end bench.py confirmation.
     """
-    return os.environ.get("DMF_FUSED_SE", "0") == "1"
+    f = kernel_gates.flag("DMF_FUSED_SE", "fused_se")
+    return False if f is None else f
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype) -> bool:
