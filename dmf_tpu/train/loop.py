@@ -276,12 +276,21 @@ def fit_single(
         epoch_metrics["lr_scale"] = controller.lr_scale
         epoch_metrics["aux_w"] = aux_w
         epoch_metrics["epoch_time"] = time.time() - t0
+        # per-group lr/trainable used this epoch — the reference's
+        # LearningRateMonitor(logging_interval='epoch') analogue
+        # (run_training.py:36) and what epoch-scale parity tests pin
+        epoch_metrics["group_lrs"] = np.asarray(hp.lr).tolist()
+        epoch_metrics["group_trainable"] = np.asarray(hp.trainable).tolist()
 
         # ---- control plane ----
         if isinstance(scheduler, ReduceLROnPlateau):
             monitored = epoch_metrics.get(mc.scheduler.monitor,
                                           epoch_metrics["val_loss"])
-            controller.lr_scale = scheduler.step(monitored)
+            # torch semantics: a reduction event mutates the lr of each
+            # group present in the optimizer (controller.apply_plateau);
+            # groups unfrozen later join at their fresh lr
+            if scheduler.step_reduced(monitored):
+                controller.apply_plateau(scheduler.factor, scheduler.min_lr)
         elif not isinstance(scheduler, WarmupCosine):  # stepped per-step above
             controller.lr_scale = scheduler.step_scale(epoch)
 
@@ -487,9 +496,16 @@ def fit_fusion(
         epoch_metrics["lr_scale"] = controller.lr_scale
         epoch_metrics["aux_w"] = aux_w
         epoch_metrics["epoch_time"] = time.time() - t0
+        # per-group lr/trainable used this epoch (LearningRateMonitor
+        # analogue; see fit_single)
+        epoch_metrics["group_lrs"] = np.asarray(hp.lr).tolist()
+        epoch_metrics["group_trainable"] = np.asarray(hp.trainable).tolist()
 
         if isinstance(scheduler, ReduceLROnPlateau):
-            controller.lr_scale = scheduler.step(epoch_metrics["val_loss"])
+            monitored = epoch_metrics.get(fp.scheduler.monitor,
+                                          epoch_metrics["val_loss"])
+            if scheduler.step_reduced(monitored):
+                controller.apply_plateau(scheduler.factor, scheduler.min_lr)
         elif not isinstance(scheduler, WarmupCosine):  # stepped per-step above
             controller.lr_scale = scheduler.step_scale(epoch)
 

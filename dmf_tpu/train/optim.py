@@ -318,13 +318,19 @@ class SingleModelOptController:
 
     cfg: Config
     method: str
-    lr_scale: float = 1.0  # multiplied in by the plateau/cosine controller
+    lr_scale: float = 1.0  # global multiplier (cosine/warmup schedulers)
 
     def __post_init__(self):
         mc = self.cfg.model_config(self.method)
         self.use_backbone = mc.use_backbone
         self.base_lrs, self.base_wds = discriminative_hparams(mc.optimizer, 3)
         self.unfrozen = not (self.cfg.backbone_freeze_on_start and self.use_backbone)
+        # torch ReduceLROnPlateau mutates each param group's CURRENT lr in
+        # place, so reductions only touch groups present in the optimizer
+        # at that moment and a group added later by unfreeze starts at its
+        # fresh lr (train.py:246-250 add_param_group after any reductions).
+        # Tracked as a per-group multiplier over the raw group lr.
+        self.group_scales = np.ones(3)
 
     def on_epoch_start(self, epoch: int) -> None:
         if (
@@ -333,19 +339,38 @@ class SingleModelOptController:
             and epoch == self.cfg.foundation_model_unfreeze_timer
         ):
             self.unfrozen = True
+            self.group_scales[0] = 1.0  # fresh param group (torch semantics)
+
+    def _raw_lrs(self) -> np.ndarray:
+        lrs = self.base_lrs.copy()
+        if self.use_backbone and self.unfrozen and self.cfg.backbone_freeze_on_start:
+            # group added at unfreeze with its own lr (wd handled below)
+            lrs[0] = self.cfg.foundation_model_unfreeze_lr
+        return lrs
+
+    def _present(self) -> np.ndarray:
+        trainable = np.ones(3, np.float32)
+        if self.use_backbone and not self.unfrozen:
+            trainable[0] = 0.0
+        return trainable
+
+    def apply_plateau(self, factor: float, min_lr: float) -> None:
+        """One torch ``ReduceLROnPlateau`` reduction event:
+        ``lr_g = max(lr_g * factor, min_lr)`` for every group currently in
+        the optimizer (torch/optim/lr_scheduler.py _reduce_lr semantics)."""
+        raw = self._raw_lrs()
+        present = self._present()
+        for g in range(len(raw)):
+            if present[g] and raw[g] > 0:
+                cur = raw[g] * self.group_scales[g]
+                self.group_scales[g] = max(cur * factor, min_lr) / raw[g]
 
     def hyperparams(self) -> GroupedHyperParams:
-        lrs = self.base_lrs.copy()
+        lrs = self._raw_lrs() * self.group_scales
         wds = self.base_wds.copy()
-        trainable = np.ones(3, np.float32)
-        if self.use_backbone:
-            if not self.unfrozen:
-                trainable[0] = 0.0
-            else:
-                if self.cfg.backbone_freeze_on_start:
-                    # group added at unfreeze with its own lr/wd
-                    lrs[0] = self.cfg.foundation_model_unfreeze_lr
-                    wds[0] = 0.0
+        trainable = self._present()
+        if self.use_backbone and self.unfrozen and self.cfg.backbone_freeze_on_start:
+            wds[0] = 0.0
         return GroupedHyperParams(
             lr=jnp.asarray(lrs * self.lr_scale, jnp.float32),
             wd=jnp.asarray(wds, jnp.float32),
@@ -390,6 +415,10 @@ class FusionOptController:
         # per-group unfreeze lr/wd captured at unfreeze time
         self.unfreeze_lrs = self.base_lrs.copy()
         self.unfreeze_wds = self.base_wds.copy()
+        # torch plateau reductions mutate only groups present in the
+        # optimizer at the event; unfrozen groups join fresh (see
+        # SingleModelOptController.group_scales)
+        self.group_scales = np.ones(4)
 
     def on_epoch_start(self, epoch: int) -> None:
         if not self.frozen:
@@ -409,8 +438,9 @@ class FusionOptController:
         self.unfreeze_wds[group_idx] = opt.reg_base * (
             opt.reg_decay_factor ** (k - 1)
         )
+        self.group_scales[group_idx] = 1.0  # fresh param group
 
-    def hyperparams(self) -> GroupedHyperParams:
+    def _raw_lrs_wds(self):
         n = 4
         trainable = np.ones(n, np.float32)
         lrs = self.base_lrs.copy()
@@ -425,8 +455,22 @@ class FusionOptController:
                 else:
                     lrs[g] = self.unfreeze_lrs[g]
                     wds[g] = self.unfreeze_wds[g]
+        return lrs, wds, trainable
+
+    def apply_plateau(self, factor: float, min_lr: float) -> None:
+        """One torch plateau reduction on the groups currently in the
+        optimizer (see SingleModelOptController.apply_plateau)."""
+        raw, _, present = self._raw_lrs_wds()
+        for g in range(len(raw)):
+            if present[g] and raw[g] > 0:
+                cur = raw[g] * self.group_scales[g]
+                self.group_scales[g] = max(cur * factor, min_lr) / raw[g]
+
+    def hyperparams(self) -> GroupedHyperParams:
+        lrs, wds, trainable = self._raw_lrs_wds()
         return GroupedHyperParams(
-            lr=jnp.asarray(lrs * self.lr_scale, jnp.float32),
+            lr=jnp.asarray(lrs * self.group_scales * self.lr_scale,
+                           jnp.float32),
             wd=jnp.asarray(wds, jnp.float32),
             trainable=jnp.asarray(trainable, jnp.float32),
         )

@@ -30,8 +30,18 @@ class ReduceLROnPlateau:
     scale: float = 1.0
     best: float = math.inf
     num_bad_epochs: int = 0
+    last_reduced: bool = False
 
     def step(self, metric: float) -> float:
+        """Advance one epoch; returns the global scale (single-group view).
+
+        Multi-group callers should use :meth:`step_reduced` + the
+        controller's ``apply_plateau`` instead: torch mutates each param
+        group's CURRENT lr at a reduction event, so groups added later by
+        unfreeze join fresh and the ``min_lr`` clamp is absolute per
+        group — a single global scale cannot represent that.
+        """
+        self.last_reduced = False
         if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.num_bad_epochs = 0
@@ -40,7 +50,13 @@ class ReduceLROnPlateau:
         if self.num_bad_epochs > self.patience:
             self.scale = max(self.scale * self.factor, self.min_lr / self.base_lr)
             self.num_bad_epochs = 0
+            self.last_reduced = True
         return self.scale
+
+    def step_reduced(self, metric: float) -> bool:
+        """Advance one epoch; True iff this epoch triggers a reduction."""
+        self.step(metric)
+        return self.last_reduced
 
 
 @dataclasses.dataclass

@@ -31,12 +31,20 @@ class MetricLogger:
 
     def log_epoch(self, epoch: int, metrics: Dict[str, float]) -> None:
         record = {"epoch": epoch, "time": time.time()}
-        record.update({k: float(v) for k, v in metrics.items()})
+        # vector metrics (e.g. per-group lrs — the reference's
+        # LearningRateMonitor pg{i} scalars) expand to indexed keys
+        flat = {}
+        for k, v in metrics.items():
+            if isinstance(v, (list, tuple)):
+                flat.update({f"{k}_{i}": float(x) for i, x in enumerate(v)})
+            else:
+                flat[k] = float(v)
+        record.update(flat)
         self.history.append(record)
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self._tb is not None:
-            for k, v in metrics.items():
+            for k, v in flat.items():
                 try:
                     self._tb.add_scalar(k, float(v), epoch)
                 except Exception:
