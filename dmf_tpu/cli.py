@@ -51,6 +51,11 @@ def _add_common(p):
                    help="SPMD device mesh, e.g. '8' (8-way data parallel) "
                         "or '4x2' (4-way data, 2-way tensor parallel); "
                         "training shards the state and batches over it")
+    p.add_argument("--parallel-folds", action="store_true",
+                   help="train all requested folds of each modality as ONE "
+                        "vmapped program (train/multifold_loop.py) instead "
+                        "of the reference's sequential fold loop; per-fold "
+                        "schedules/early-stop stay exact")
     p.add_argument("--mc-chunk", type=int, default=None,
                    help="run the MC uncertainty passes in sequential chunks "
                         "of this size (same ensemble, bounds activation "
@@ -145,10 +150,47 @@ def cmd_run(args) -> int:
     folds = args.folds if args.folds is not None else list(range(cfg.segnum))
     methods = args.methods if args.methods else list(cfg.methods)
 
-    from .pipeline.run_single import run_single_model
+    from .pipeline.run_single import run_single_model, run_single_model_multifold
     from .pipeline.run_fusion import run_fusion_model
 
     summary = {}
+    if getattr(args, "parallel_folds", False) and len(folds) > 1:
+        # fold-parallel product path: each modality's K folds train as one
+        # vmapped program; fusion (which chains per-fold encoder results)
+        # then runs per fold
+        per_method = {}
+        for method in methods:
+            if args.debug_training:
+                from .debug_suite import run_debug_suite_single
+
+                run_debug_suite_single(cfg, method)
+            pretrained = (args.pretrained_dwi if method == "dwi"
+                          else args.pretrained_dce)
+            print(f"[dmf_tpu] folds {folds} method {method}: "
+                  f"fold-parallel training...")
+            per_method[method] = run_single_model_multifold(
+                cfg, method, folds,
+                num_epochs=args.epochs, min_epochs=args.min_epochs,
+                base_dir=args.results_dir, pretrained_path=pretrained,
+            )
+        for fold in folds:
+            results = {m: per_method[m][fold] for m in methods}
+            for m, r in results.items():
+                print(f"[dmf_tpu] fold {fold} {m} test:",
+                      json.dumps(r["test_metrics"], indent=None))
+                summary[f"fold{fold}_{m}"] = r["test_metrics"]
+            if args.fusion and "dwi" in results and "dce" in results:
+                print(f"[dmf_tpu] fold {fold} fusion: training...")
+                fusion_res = run_fusion_model(
+                    cfg, fold, results["dwi"], results["dce"],
+                    num_epochs=args.epochs, min_epochs=args.min_epochs,
+                    base_dir=args.results_dir,
+                )
+                print(f"[dmf_tpu] fold {fold} fusion test:",
+                      json.dumps(fusion_res["test_metrics"], indent=None))
+                summary[f"fold{fold}_fusion"] = fusion_res["test_metrics"]
+        print(json.dumps(summary, indent=2))
+        return 0
     for fold in folds:
         results = {}
         for method in methods:

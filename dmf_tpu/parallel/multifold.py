@@ -71,7 +71,8 @@ def make_multifold_predictor(predictor: Callable) -> Callable:
 
 def make_multifold_step(raw_step: Callable, donate: bool = True,
                         mesh: Optional[Mesh] = None,
-                        per_fold_hp: bool = False) -> Callable:
+                        per_fold_hp: bool = False,
+                        with_active: bool = False) -> Callable:
     """vmap an UNJITTED train step over the leading fold axis.
 
     ``raw_step``: ``(state, batch, rng, hp) -> (state, metrics)`` from
@@ -85,11 +86,39 @@ def make_multifold_step(raw_step: Callable, donate: bool = True,
     stay exact under lockstep training.  state/batch/rng always carry the
     (K, ...) fold axis.
 
+    ``with_active=True`` adds a trailing ``(K,)`` 0/1 argument: a fold
+    with ``active=0`` gets its ENTIRE pre-step state selected back after
+    the step (params, BN stats, Adam moments, step counter — one
+    ``jnp.where`` per leaf), making the lockstep program exact for folds
+    that differ in per-epoch batch counts (ragged K-fold splits) or have
+    already early-stopped: the dead fold computes a discarded step instead
+    of forcing a fallback to sequential execution.  Signature becomes
+    ``(state, batch, rng, hp, active) -> (state, metrics)``.
+
     With ``mesh``, the fold axis is split over the mesh's data axis via
     ``shard_map`` (K must be divisible by the data-axis size); each device
     group steps its folds independently — zero collectives.
     """
     hp_ax = 0 if per_fold_hp else None
+    if with_active:
+        def masked_step(state, batch, rng, hp, active):
+            new_state, metrics = raw_step(state, batch, rng, hp)
+            keep = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), new_state, state)
+            return keep, metrics
+
+        vstep = jax.vmap(masked_step, in_axes=(0, 0, 0, hp_ax, 0))
+        if mesh is not None:
+            fold, rep = P(DATA_AXIS), P()
+            sharded = jax.shard_map(
+                vstep, mesh=mesh,
+                in_specs=(fold, fold, fold,
+                          fold if per_fold_hp else rep, fold),
+                out_specs=(fold, fold),
+                check_vma=False,
+            )
+            return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+        return jax.jit(vstep, donate_argnums=(0,) if donate else ())
     vstep = jax.vmap(raw_step, in_axes=(0, 0, 0, hp_ax))
     if mesh is not None:
         fold, rep = P(DATA_AXIS), P()

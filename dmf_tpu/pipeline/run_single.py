@@ -170,3 +170,80 @@ def run_single_model(
         "history": fit.history,
         "config": cfg,
     }
+
+
+def run_single_model_multifold(
+    cfg: Config,
+    method: str,
+    folds,
+    num_epochs: Optional[int] = None,
+    min_epochs: Optional[int] = None,
+    base_dir: str = "results",
+    pretrained_path: Optional[str] = None,
+    export_splits: bool = True,
+    seed: int = 0,
+) -> Dict[int, Dict[str, Any]]:
+    """Fold-parallel product path: ALL requested folds of one modality
+    trained as ONE vmapped program (train/multifold_loop.py), then tested
+    per fold.  Returns ``{fold: result}`` with each result in the exact
+    shape :func:`run_single_model` produces, so the fusion stage and the
+    CLI summary consume either path interchangeably.
+
+    Replaces the reference's strictly sequential outer fold loop
+    (run_training.py:20-178 re-entered per fold) — per-fold semantics are
+    preserved exactly (tests/test_multifold_loop.py): each fold keeps its
+    own rng stream, wfl class weights, plateau/early-stop schedule, and
+    best checkpoint; folds that stop early ride the active-mask select.
+    """
+    from ..train.multifold_loop import fit_single_multifold
+    from .prepare_single import load_raw_tensors
+
+    folds = list(folds)
+    raw = load_raw_tensors(cfg, method)
+    datas = [prepare_single_data(cfg, method, f, raw=raw) for f in folds]
+    model, variables, cfg = build_single_model(
+        cfg, method, pretrained_path=pretrained_path
+    )
+    # the sequential path inits every fold from PRNGKey(cfg.seed)
+    # (build_single_model) — identical init across folds, replicated here
+    states = [TrainState.create(variables) for _ in folds]
+    controllers = [SingleModelOptController(cfg, method) for _ in folds]
+    pathss = [prepare_output_paths(method, f, base_dir) for f in folds]
+
+    fits = fit_single_multifold(
+        cfg, method, model, states,
+        fold_train=[d.splits["train"] for d in datas],
+        fold_val=[d.splits["val"] for d in datas],
+        processors=[d.processor for d in datas],
+        controllers=controllers,
+        workdirs=[p["root"] for p in pathss],
+        num_epochs=num_epochs, min_epochs=min_epochs, seed=seed,
+    )
+
+    from ..parallel import mesh_from_config
+
+    results: Dict[int, Dict[str, Any]] = {}
+    for fold, data, paths, fit in zip(folds, datas, pathss, fits):
+        best_state = fit.best_state if fit.best_state is not None else fit.state
+        test_result = test_single_model(cfg, model, best_state, data,
+                                        seed=seed, mesh=mesh_from_config(cfg))
+        save_metrics_json(
+            paths["metrics"], fit.train_metrics, test_result["metrics"],
+            parameters=to_reference_dict(cfg),
+        )
+        if export_splits:
+            export_processed_splits(cfg, data, rng_seed=seed)
+        results[fold] = {
+            "best_checkpoint": f"{paths['checkpoints']}/best",
+            "model": model,
+            "state": best_state,
+            "final_state": fit.state,
+            "data": data,
+            "train_metrics": fit.train_metrics,
+            "test_metrics": test_result["metrics"],
+            "test_probs": test_result["probs"],
+            "modality_attention": test_result["modality_attention"],
+            "history": fit.history,
+            "config": cfg,
+        }
+    return results

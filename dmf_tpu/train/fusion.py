@@ -286,6 +286,9 @@ def make_fusion_eval_step(cfg: Config, dwi_model, dce_model, fusion_model,
             cfg, clf_loss_fn, mask_loss_fn, logits, fused_mask, aux, parts,
             batch["dwi"], batch["dce"], batch.get("masks"), batch["labels"],
             jnp.ones(()), is_train=False,
+            # padded-tail rows must not bias the monitored val metrics
+            # (see make_single_eval_step)
+            valid=batch.get("valid"),
         )
         metrics["loss"] = metrics["clf_loss"]
         probs = jax.nn.softmax(logits, axis=-1)

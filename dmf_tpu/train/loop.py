@@ -258,7 +258,10 @@ def fit_single(
         all_probs, all_labels = [], []
         for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False,
                                      sharding=batch_sh):
-            proc = {"imgs": batch["imgs"], "labels": batch["labels"].astype(jnp.int32)}
+            proc = {"imgs": batch["imgs"],
+                    "labels": batch["labels"].astype(jnp.int32),
+                    # exact padded-tail val metrics (make_single_eval_step)
+                    "valid": batch["valid"].astype(jnp.float32)}
             if "masks" in batch:
                 proc["masks"] = batch["masks"]
             logits, probs, metrics = eval_step(state, proc)
@@ -478,6 +481,8 @@ def fit_fusion(
             proc = {
                 "dwi": batch["dwi"], "dce": batch["dce"],
                 "labels": batch["labels"].astype(jnp.int32),
+                # exact padded-tail val metrics (make_fusion_eval_step)
+                "valid": batch["valid"].astype(jnp.float32),
             }
             if "masks" in batch:
                 proc["masks"] = batch["masks"]

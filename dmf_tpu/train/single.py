@@ -225,6 +225,10 @@ def make_single_eval_step(cfg: Config, method: str, model,
             logits, aux, mask_pred,
             batch["imgs"], batch.get("masks"), batch["labels"],
             jnp.ones(()), is_train=False,
+            # padded-tail rows (pad_to_batch/mesh batches) must not bias
+            # the val metrics that drive plateau/early-stop decisions:
+            # every reduction is validity-weighted, exactly like training
+            valid=batch.get("valid"),
         )
         # reference val_loss is the classification loss alone
         metrics["loss"] = metrics["clf_loss"]
