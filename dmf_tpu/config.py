@@ -212,14 +212,15 @@ class ServingKernelConfig:
     fused_epilogue_channels: Optional[str] = None
     # SE-only Pallas kernel (DMF_FUSED_SE; default off: measured regression)
     fused_se: Optional[bool] = None
-    # fused 3x3-conv+BN+GELU adapter necks (DMF_FUSED_NECK; default off:
-    # measured e2e regression, kernel kept as tested reference)
+    # fused 3x3-conv+BN+GELU adapter necks (DMF_FUSED_NECK; default on for
+    # 1-device TPU / shard_map body — r4 sweep win at the default site)
     fused_neck: Optional[bool] = None
     # layout-matched (H,W,B,C) neck variant (DMF_FUSED_NECK_T; default on
     # whenever the neck dispatch is enabled)
     fused_neck_transposed: Optional[bool] = None
     # neck site allowlist (DMF_FUSED_NECK_SITES; 'all' or comma list of
-    # neck_f{1..3}_conv{0,1}; default all)
+    # neck_f{1..3}_conv{0,1}; default 'neck_f1_conv1' — the profiled
+    # emitter outlier, the only site that measured an e2e win)
     fused_neck_sites: Optional[str] = None
     # hardware-bit-generator dropout keys in the MC vmap (DMF_MC_RBG;
     # default: on on TPU)

@@ -21,27 +21,31 @@ var)``, the kernel applies ``gelu(conv(x) * s + t)`` where
 ``s = gamma/sqrt(var+eps)`` and ``t = (b - mean) * s + beta``.
 
 Forward/serving only (training keeps the differentiable XLA path).
-Dispatch is opt-in per the repo's measured-win kernel policy, and the e2e
-measurement (v5e, 2026-08-19) says it must STAY opt-in for fp serving: the
-5x in-context microbench win at the outlier site (4.68 -> 0.92 ms,
-scripts/bench_conv3x3.py) inverts end-to-end — ``DMF_FUSED_NECK=1`` at all
-six neck sites measures **646.0 vol/s vs the 855.4 XLA baseline** (-24%)
-on the fp serving bench and **94.9 vs 111.2 vol/s** (-15%) on TTA x MC
-uncertainty serving (the necks sit in the hoisted deterministic prefix
-there).  Same failure mode the (B,H,W,C) epilogue kernel
-exhibited before its layout-matched variant: the Mosaic custom call pins
-operands/results to the default ``{3,2,1,0}`` layout while XLA lays the
-surrounding activations out ``{3,0,2,1}``, so each of the six kernel
-boundaries pays relayout copies and un-fuses the neighboring chain, which
-the per-site marginal microbench cannot see.  The transposed ``(H,W,B,C)``
-variant (the fix that took the epilogue kernel from 96.5 to 109.3 vol/s)
-now exists (``DMF_FUSED_NECK_T``, on by default whenever the neck dispatch
-itself is enabled; a per-site sweep goes through ``DMF_FUSED_NECK_SITES``).
-E2e verdict (v5e, 2026-08-19, r4 sweep with the 8 MB transposed block
-budget that makes the variant actually reachable at production
-geometries): see the measurement note at the end of this docstring —
-until a configuration measures an e2e win, ``DMF_FUSED_NECK`` stays
-opt-in and the XLA emitter keeps the sites.
+Dispatch follows the repo's measured-win kernel policy.  History of the
+e2e verdicts (v5e, 2026-08-19):
+
+- (B,H,W,C) kernel, all six sites: **646.0 vs 855.4 vol/s** fp (-24%) and
+  **94.9 vs 111.2** TTA x MC (-15%) — the 5x in-context microbench win at
+  the outlier site (4.68 -> 0.92 ms, scripts/bench_conv3x3.py) inverts
+  end-to-end.  Same failure mode the (B,H,W,C) epilogue kernel exhibited
+  before its layout-matched variant: the Mosaic custom call pins
+  operands/results to the default ``{3,2,1,0}`` layout while XLA lays the
+  surrounding activations out ``{3,0,2,1}``, so each kernel boundary pays
+  relayout copies and un-fuses the neighboring chain, which the per-site
+  marginal microbench cannot see.
+- r4 sweep of the transposed ``(H,W,B,C)`` variant (``DMF_FUSED_NECK_T``,
+  on by default; reachable at production geometries once the block budget
+  was fixed to 8 MB): all six sites still lose (685.5 fp / 97.6 tta_mc),
+  but the single profiled-outlier site ``neck_f1_conv1`` WINS both modes,
+  reproduced over 3 interleaved baseline/kernel pairs — fp
+  864.5/864.2/863.9 vs 855.8/856.1/855.1 (+1.0%), TTA x MC 111.5/111.5 vs
+  110.8/110.7 (+0.6%).  The other five sites sit near roofline under XLA
+  (final r3 profile: conv fusions tracking 82-100% of roofline), so the
+  kernel's dispatch/boundary cost flips them.
+
+**Default (r4): ON at ``neck_f1_conv1`` only** for single-device TPU /
+shard_map-local serving; ``DMF_FUSED_NECK=0`` reverts,
+``DMF_FUSED_NECK_SITES`` overrides the site allowlist.
 """
 
 from __future__ import annotations
@@ -73,27 +77,47 @@ _MAX_BLOCK = 8 * 1024 * 1024
 def neck_enabled() -> bool:
     """Measured-win gate for the adapter-neck dispatch (models/adapter.py).
 
-    Microbenched in-context win at the profiled outlier geometry
-    (scripts/bench_conv3x3.py, v5e, 2026-08-19: marginal stage cost
-    4.68 ms XLA -> 0.92 ms kernel at B=128 64^2 128->128 bf16);
-    ``DMF_FUSED_NECK=0|1`` overrides the default, which follows the
-    end-to-end bench.py measurement.
+    Default ON for single-device TPU serving (and inside ``shard_map``
+    bodies, where a Pallas call is a per-shard single-device program;
+    multi-device GSPMD cannot partition the custom call, so it defaults
+    OFF there — same rule as ``epilogue_pallas.enabled``).  The default
+    follows the r4 e2e sweep (v5e, 2026-08-19, 3 repeat runs each): with
+    the site default restricted to the profiled ``neck_f1_conv1`` outlier
+    (see :func:`site_ok`) the kernel wins BOTH serving benches —
+    fp 864.5/864.2/863.9 vs 855.8/856.1/855.1 baseline vol/s and
+    TTA x MC 111.5/111.5 vs 110.8/110.7 — while all six sites lose
+    (685.5 fp / 97.6 tta_mc).  ``DMF_FUSED_NECK=0|1`` overrides.
     """
     f = kernel_gates.flag("DMF_FUSED_NECK", "fused_neck")
-    return False if f is None else f
+    if f is not None:
+        return f
+    if jax.default_backend() != "tpu":
+        return False
+    from .epilogue_pallas import shard_local_active
+    return jax.device_count() == 1 or shard_local_active()
+
+
+# Measured winner of the r4 per-site sweep (module docstring): only the
+# profiled emitter-outlier site wins e2e; "all"/comma-list override.
+_DEFAULT_SITES = frozenset({"neck_f1_conv1"})
 
 
 def site_ok(name: str) -> bool:
     """Per-site allowlist for the neck dispatch (``DMF_FUSED_NECK_SITES``).
 
-    ``all`` (default) dispatches at every geometry-eligible site; a
-    comma-separated list (e.g. ``neck_f1_conv0,neck_f1_conv1``) restricts
-    to named sites — the same sweep mechanism the epilogue kernel's
-    ``DMF_FUSED_EPILOGUE_CH`` provided, so per-site e2e measurement needs
-    no code edits.
+    Unset resolves to the measured winner ``{'neck_f1_conv1'}`` — the
+    geometry XLA's ``EmitAllBatchInSublanes`` emitter loses 2.7x on; the
+    other five sites sit near roofline under XLA and the kernel's
+    boundary cost flips them (r4 sweep: all sites 685 vs 856 fp vol/s).
+    ``all`` dispatches at every geometry-eligible site; a comma-separated
+    list (e.g. ``neck_f1_conv0,neck_f1_conv1``) restricts to named sites —
+    the same sweep mechanism as the epilogue's ``DMF_FUSED_EPILOGUE_CH``,
+    so per-site e2e measurement needs no code edits.
     """
-    allow = (kernel_gates.text("DMF_FUSED_NECK_SITES", "fused_neck_sites")
-             or "all").strip()
+    allow = kernel_gates.text("DMF_FUSED_NECK_SITES", "fused_neck_sites")
+    if allow is None:
+        return name in _DEFAULT_SITES
+    allow = allow.strip()
     if not allow or allow.lower() == "all":
         return True
     return name in {p.strip() for p in allow.split(",") if p.strip()}

@@ -97,6 +97,13 @@ def shard_local_dispatch():
         _SHARD_LOCAL.reset(tok)
 
 
+def shard_local_active() -> bool:
+    """True while tracing a ``shard_local_dispatch`` body — shared by every
+    serving-kernel gate that must not veto dispatch inside ``shard_map``
+    (this module's :func:`enabled` and conv3x3_pallas's ``neck_enabled``)."""
+    return _SHARD_LOCAL.get()
+
+
 def enabled() -> bool:
     """Measured-win gate (policy: see ops/se_pallas.py::enabled).
 

@@ -140,7 +140,11 @@ class TestConv3x3Kernel:
     def test_site_allowlist(self, monkeypatch):
         from dmf_tpu.ops.conv3x3_pallas import site_ok
 
-        assert site_ok("neck_f1_conv0")  # default: all sites
+        # r4 default: only the measured-winner outlier site dispatches
+        monkeypatch.delenv("DMF_FUSED_NECK_SITES", raising=False)
+        assert site_ok("neck_f1_conv1")
+        assert not site_ok("neck_f1_conv0")
+        assert not site_ok("neck_f3_conv0")
         monkeypatch.setenv("DMF_FUSED_NECK_SITES",
                            "neck_f1_conv0,neck_f1_conv1")
         assert site_ok("neck_f1_conv1")
