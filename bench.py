@@ -33,6 +33,16 @@ def _volumes(n, size, dwi_ch, dce_ch, num_classes, seed):
     )
 
 
+def _emit(result: dict, out) -> None:
+    """Print the one-line JSON result; optionally persist it to a file
+    (the per-mode BENCH_r{N}_{mode}.json artifacts, VERDICT r3 #6)."""
+    line = json.dumps(result)
+    print(line)
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
+
+
 def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
     """Fusion training-step throughput (steps/sec at the config batch)."""
     import jax
@@ -114,7 +124,7 @@ def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
         result["achieved_tflops"] = round(achieved, 2)
         result["mfu"] = round(achieved / 197.0, 4)
         result["vs_conv_roofline"] = round(achieved / 156.0, 4)
-    print(json.dumps(result))
+    _emit(result, args.out)
 
 
 def main() -> None:
@@ -140,6 +150,13 @@ def main() -> None:
                         help="serve with post-training int8 conv kernels "
                              "(dmf_tpu.ops.quant; opt-in, not "
                              "reference_compat)")
+    parser.add_argument("--int8-prefix", action="store_true",
+                        help="mc/tta_mc only: int8 for the hoisted "
+                             "deterministic prefix (modality SE + backbone "
+                             "+ necks, ~48%% of the tta_mc step at fp "
+                             "roofline), fp for every stochastic MC pass "
+                             "(ops/quant.py::make_hybrid_fusion_fwd); "
+                             "prints ensemble agreement vs the fp path")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fusion training step instead "
                              "(reports steps/sec; BASELINE.md tracks this "
@@ -162,6 +179,10 @@ def main() -> None:
                              "pairs with scripts/analyze_profile.py)")
     parser.add_argument("--quick", action="store_true",
                         help="tiny geometry for CPU smoke runs")
+    parser.add_argument("--out", default=None, metavar="FILE",
+                        help="also write the JSON result line to FILE "
+                             "(per-mode driver-style artifacts, e.g. "
+                             "BENCH_r04_tta_mc.json)")
     args = parser.parse_args()
 
     import os
@@ -305,8 +326,14 @@ def main() -> None:
         return dx.astype(dtype), cx.astype(dtype)
 
     quant_fwd = None
-    if args.int8:
+    if args.int8 or args.int8_prefix:
+        if args.int8 and args.int8_prefix:
+            parser.error("--int8 and --int8-prefix are mutually exclusive")
+        if args.int8_prefix and args.mode not in ("mc", "tta_mc"):
+            parser.error("--int8-prefix applies to --mode mc/tta_mc only "
+                         "(there is no hoisted prefix elsewhere)")
         from dmf_tpu.ops.quant import (
+            make_hybrid_fusion_fwd,
             make_quantized_fusion_apply,
             make_quantized_fusion_fwd,
         )
@@ -321,10 +348,17 @@ def main() -> None:
         calib = jax.jit(preprocess)(
             jnp.asarray(cal_arr["dwi"]), jnp.asarray(cal_arr["dce"]),
         )
-        apply_fn, qsets = make_quantized_fusion_apply(
+        q_apply_fn, qsets = make_quantized_fusion_apply(
             dwi, dce, fusion, variables, calibration=calib,
             calibration_mc=args.mode in ("mc", "tta_mc"))
-        quant_fwd = make_quantized_fusion_fwd(dwi, dce, fusion, qsets)
+        if args.int8_prefix:
+            # hybrid: int8 prefix, fp stochastic suffix — the normal-mode
+            # apply stays fp (only the mc predictor consumes the override)
+            apply_fn = make_fusion_apply(dwi, dce, fusion)
+            quant_fwd = make_hybrid_fusion_fwd(dwi, dce, fusion, qsets)
+        else:
+            apply_fn = q_apply_fn
+            quant_fwd = make_quantized_fusion_fwd(dwi, dce, fusion, qsets)
     else:
         apply_fn = make_fusion_apply(dwi, dce, fusion)
 
@@ -386,6 +420,8 @@ def main() -> None:
               else f"fusion_{args.mode}_inference_throughput")
     if args.int8:
         metric += "_int8"
+    if args.int8_prefix:
+        metric += "_int8prefix"
     result = {
         "metric": metric,
         "value": round(volumes_per_sec, 2),
@@ -428,6 +464,25 @@ def main() -> None:
             float((p_s.argmax(-1) == p_1.argmax(-1)).mean()), 4)
         result["max_prob_err"] = round(float(np.abs(p_s - p_1).max()), 4)
 
+    if args.int8_prefix:
+        # hybrid accuracy vs the PURE-FP ensemble on identical preprocessed
+        # inputs AND the identical rng key: the per-pass dropout masks are
+        # the same stream, so every deviation below is the int8 prefix's
+        from dmf_tpu.evals.predict import make_fusion_predictor as _mfp
+
+        fp_pred = _mfp(cfg, dwi, dce, fusion, mode=args.mode,
+                       mc_chunk=args.mc_chunk)
+        dx, cx = jax.jit(preprocess)(dwi_raw, dce_raw)
+        m_h, s_h, _ = predictor(variables["dwi"], variables["dce"],
+                                variables["fusion"], dx, cx, key)
+        m_f, s_f, _ = fp_pred(variables["dwi"], variables["dce"],
+                              variables["fusion"], dx, cx, key)
+        m_h, s_h, m_f, s_f = map(np.asarray, (m_h, s_h, m_f, s_f))
+        result["hybrid_agreement"] = round(
+            float((m_h.argmax(-1) == m_f.argmax(-1)).mean()), 4)
+        result["max_prob_err"] = round(float(np.abs(m_h - m_f).max()), 4)
+        result["max_std_err"] = round(float(np.abs(s_h - s_f).max()), 4)
+
     if args.int8:
         # int8 accuracy vs the fp path on identical preprocessed inputs
         # (VERDICT r1 #6): argmax agreement + worst logit error.  One extra
@@ -446,7 +501,7 @@ def main() -> None:
             float((l_fp.argmax(-1) == l_q.argmax(-1)).mean()), 4)
         result["max_logit_err"] = round(float(np.abs(l_fp - l_q).max()), 4)
 
-    print(json.dumps(result))
+    _emit(result, args.out)
 
 
 if __name__ == "__main__":

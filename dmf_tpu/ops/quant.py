@@ -301,3 +301,52 @@ def make_quantized_fusion_fwd(dwi_model, dce_model, fusion_model, qsets):
 
     fwd.compute_prefixes = compute_prefixes
     return fwd
+
+
+def make_hybrid_fusion_fwd(dwi_model, dce_model, fusion_model, qsets):
+    """int8 deterministic prefix + fp stochastic suffix (hybrid serving).
+
+    TTA x MC step anatomy (final r3 xplane profile, README): ~48% of the
+    step is the hoisted deterministic prefix — modality SE + backbone +
+    adapter necks, computed ONCE per ensemble — and its conv fusions
+    already track 82-100% of the bf16 roofline, so the only way to shrink
+    it further is a faster unit.  This fwd runs exactly that prefix on the
+    int8 serving kernels (2x MXU rate, half the HBM bytes) while every
+    stochastic MC pass — the part the uncertainty estimate is drawn from —
+    stays bit-identical to the fp program (same rbg dropout keys, same
+    fused epilogue kernels).  Accuracy surface: the int8 error enters only
+    through the shared prefix features, identically for all 40 passes;
+    ``bench.py --mode tta_mc --int8-prefix`` prints argmax agreement and
+    max mean-prob/std error vs the fp ensemble on the same inputs + key.
+
+    Plugs into ``evals.predict.make_fusion_predictor(fwd_override=...)``;
+    in modes without a hoisted prefix (normal/tta) it degrades to the pure
+    fp forward (no quantization), so use it only for mc/tta_mc.
+    """
+
+    def fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng,
+            prefixes=None):
+        from ..evals.predict import _dropout_key
+
+        rngs = {"dropout": _dropout_key(rng)} if rng is not None else None
+        pre_d, pre_c = prefixes if prefixes is not None else (None, None)
+        _, dwi_aux, dwi_mask = dwi_model.apply(
+            dwi_vars, dwi_x, train=False, mc=mc, rngs=rngs, prefix=pre_d)
+        _, dce_aux, dce_mask = dce_model.apply(
+            dce_vars, dce_x, train=False, mc=mc, rngs=rngs, prefix=pre_c)
+        logits, fused_mask, aux = fusion_model.apply(
+            fusion_vars,
+            dwi_aux["raw_feats"], dce_aux["raw_feats"], dwi_mask, dce_mask,
+            train=False, mc=mc, rngs=rngs)
+        return logits, aux
+
+    def compute_prefixes(dwi_vars, dce_vars, dwi_x, dce_x):
+        return (
+            quantized_apply(dwi_model, dwi_vars, qsets["dwi"], dwi_x,
+                            train=False, prefix_only=True),
+            quantized_apply(dce_model, dce_vars, qsets["dce"], dce_x,
+                            train=False, prefix_only=True),
+        )
+
+    fwd.compute_prefixes = compute_prefixes
+    return fwd

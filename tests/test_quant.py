@@ -245,3 +245,119 @@ class TestQuantizedPredictor:
         assert np.abs(np.asarray(mp) - np.asarray(mq)).max() < 0.05
         assert np.array_equal(np.asarray(mp).argmax(-1),
                               np.asarray(mq).argmax(-1))
+
+
+class TestHybridPrefix:
+    """int8-deterministic-prefix + fp-stochastic-suffix serving
+    (ops/quant.py::make_hybrid_fusion_fwd; bench.py --int8-prefix)."""
+
+    def _tiny_fusion(self, rng):
+        import dataclasses
+
+        from dmf_tpu.config import default_parameters
+        from dmf_tpu.models import Encoder, FusionModel
+
+        cfg = default_parameters(batch_size=2)
+        mc = dataclasses.replace(
+            cfg.dwi_model, channels=(8, 16, 32), input_size=32,
+            use_backbone=False, proj_dim=8,
+        )
+        fs = dataclasses.replace(cfg.fusion_model.fusion_specific,
+                                 dwi_out_channels=32, dce_out_channels=32)
+        fmc = dataclasses.replace(mc, fusion_specific=fs)
+        cfg = cfg.replace(dwi_model=mc, dce_model=mc, fusion_model=fmc,
+                          mc_passes=2)
+        dwi = Encoder(method="dwi", config=mc, channel_num=14, num_classes=4)
+        dce = Encoder(method="dce", config=mc, channel_num=6, num_classes=4)
+        fusion = FusionModel(config=fmc, num_classes=4)
+        k = {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}
+        xd = jnp.asarray(rng.rand(2, 32, 32, 14).astype(np.float32))
+        xc = jnp.asarray(rng.rand(2, 32, 32, 6).astype(np.float32))
+        dv = dwi.init(k, xd, train=False)
+        cv = dce.init(k, xc, train=False)
+        _, da, dm = dwi.apply(dv, xd, train=False)
+        _, ca, cm = dce.apply(cv, xc, train=False)
+        fv = fusion.init(k, da["raw_feats"], ca["raw_feats"], dm, cm,
+                         train=False)
+        return cfg, dwi, dce, fusion, dv, cv, fv, xd, xc
+
+    def test_empty_qset_bit_identical_to_fp(self, rng):
+        """With empty QuantSets the hybrid ensemble must be BIT-identical
+        to the fp predictor: the stochastic suffix (and the rng stream,
+        including the _dropout_key wrap) is exactly the fp program — the
+        hybrid's only delta is the prefix quantization."""
+        from dmf_tpu.evals.predict import make_fusion_predictor
+        from dmf_tpu.ops.quant import make_hybrid_fusion_fwd
+
+        cfg, dwi, dce, fusion, dv, cv, fv, xd, xc = self._tiny_fusion(rng)
+        hfwd = make_hybrid_fusion_fwd(dwi, dce, fusion,
+                                      {"dwi": {}, "dce": {}, "fusion": {}})
+        key = jax.random.PRNGKey(3)
+        fp_pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc")
+        h_pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc",
+                                       fwd_override=hfwd)
+        mp, sp, _ = fp_pred(dv, cv, fv, xd, xc, key)
+        mh, sh, _ = h_pred(dv, cv, fv, xd, xc, key)
+        np.testing.assert_array_equal(np.asarray(mp), np.asarray(mh))
+        np.testing.assert_array_equal(np.asarray(sp), np.asarray(sh))
+
+    def test_backbone_prefix_quantized_close(self):
+        """Real shape of the hybrid: ResNet50-backboned encoders whose
+        prefix (backbone + adapter) runs int8 while the MC suffix stays
+        fp — ensemble probabilities close, served argmax identical."""
+        import dataclasses
+
+        from dmf_tpu.config import default_parameters, resolve_backbone_config
+        from dmf_tpu.evals.predict import make_fusion_predictor
+        from dmf_tpu.models import Encoder, FusionModel
+        from dmf_tpu.models.backbones import resnet50_features
+        from dmf_tpu.ops.quant import (
+            build_quant_set,
+            calibrate_act_scales,
+            make_hybrid_fusion_fwd,
+        )
+
+        cfg = default_parameters(batch_size=1, mc_passes=2)
+        mc = dataclasses.replace(
+            resolve_backbone_config(cfg.dwi_model), input_size=32)
+        fmc = dataclasses.replace(mc,
+                                  fusion_specific=cfg.fusion_model.fusion_specific)
+        cfg = cfg.replace(dwi_model=mc, dce_model=mc, fusion_model=fmc)
+        dwi = Encoder(method="dwi", config=mc, channel_num=14, num_classes=4,
+                      backbone=resnet50_features(14))
+        dce = Encoder(method="dce", config=mc, channel_num=6, num_classes=4,
+                      backbone=resnet50_features(6))
+        fusion = FusionModel(config=fmc, num_classes=4)
+        k = {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}
+        xd = jax.random.uniform(jax.random.PRNGKey(5), (1, 32, 32, 14))
+        xc = jax.random.uniform(jax.random.PRNGKey(6), (1, 32, 32, 6))
+        dv = dwi.init(k, xd, train=False)
+        cv = dce.init(k, xc, train=False)
+        _, da, dm = dwi.apply(dv, xd, train=False)
+        _, ca, cm = dce.apply(cv, xc, train=False)
+        fv = fusion.init(k, da["raw_feats"], ca["raw_feats"], dm, cm,
+                         train=False)
+
+        qsets = {
+            "dwi": build_quant_set(dv["params"]),
+            "dce": build_quant_set(cv["params"]),
+            "fusion": {},  # hybrid never quantizes the fusion head
+        }
+        assert qsets["dwi"], "backbone convs must be quantizable"
+        calibrate_act_scales(dwi, dv, qsets["dwi"], xd, train=False)
+        calibrate_act_scales(dce, cv, qsets["dce"], xc, train=False)
+        hfwd = make_hybrid_fusion_fwd(dwi, dce, fusion, qsets)
+
+        key = jax.random.PRNGKey(7)
+        fp_pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc")
+        h_pred = make_fusion_predictor(cfg, dwi, dce, fusion, mode="tta_mc",
+                                       fwd_override=hfwd)
+        mp, sp, _ = fp_pred(dv, cv, fv, xd, xc, key)
+        mh, sh, _ = h_pred(dv, cv, fv, xd, xc, key)
+        # int8 error enters only through the shared prefix features
+        assert np.abs(np.asarray(mp) - np.asarray(mh)).max() < 0.05
+        assert np.array_equal(np.asarray(mp).argmax(-1),
+                              np.asarray(mh).argmax(-1))
+        assert np.abs(np.asarray(sp) - np.asarray(sh)).max() < 0.05
