@@ -338,7 +338,8 @@ def cmd_export_serving(args) -> int:
         jnp.uint32(0),
     )
     platforms = tuple(args.platforms.split(","))
-    data = export_serving(fn, example, path=args.out, platforms=platforms)
+    data = export_serving(fn, example, path=args.out, platforms=platforms,
+                          allow_tpu_kernels=args.allow_tpu_kernels)
     print(f"[dmf_tpu] wrote {args.out} ({len(data)} bytes, mode={args.mode}, "
           f"batch={B}, platforms={','.join(platforms)})")
     return 0
@@ -406,6 +407,12 @@ def main(argv=None) -> int:
                             "artifact per batch size)")
     p_srv.add_argument("--platforms", default="tpu,cpu",
                        help="comma-separated lowering targets")
+    p_srv.add_argument("--allow-tpu-kernels", action="store_true",
+                       help="permit the Mosaic custom call in the artifact "
+                            "(required when exporting ON a TPU with the "
+                            "fused serving kernels default-on; same-fleet "
+                            "deployment artifact, not archival — see "
+                            "serving.export_serving)")
 
     args = parser.parse_args(argv)
     if args.command == "run":

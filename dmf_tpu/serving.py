@@ -89,12 +89,24 @@ def export_serving(
     example_args: Sequence,
     path: Optional[str] = None,
     platforms: Optional[Sequence[str]] = ("tpu", "cpu"),
+    allow_tpu_kernels: bool = False,
 ) -> bytes:
     """Trace + lower ``fn`` at ``example_args`` and serialize to bytes.
 
     ``example_args`` fixes shapes/dtypes (TPU serving wants static shapes;
     export one artifact per served batch size).  ``platforms`` lowers for
     every listed backend — lowering for TPU does NOT require a TPU.
+
+    ``allow_tpu_kernels=True`` permits the Mosaic custom call
+    (``tpu_custom_call``) in the artifact — required when exporting ON a
+    TPU with the fused serving kernels at their default-on gates
+    (ops/{epilogue,conv3x3}_pallas.py).  jax.export excludes it from the
+    cross-version-stability allowlist by default because a Pallas kernel
+    binary is pinned to the Mosaic version that built it; a kernels-on
+    artifact is a same-fleet deployment artifact, not an archival one
+    (export with the gates off — DMF_FUSED_EPILOGUE=0 DMF_FUSED_NECK=0 —
+    for a pure-StableHLO artifact; scripts/serving_artifact_proof.py
+    measures both).
     """
     from jax import export as jexport
 
@@ -102,7 +114,10 @@ def export_serving(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         tuple(example_args),
     )
-    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
+    checks = ([jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+              if allow_tpu_kernels else [])
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms),
+                              disabled_checks=checks)(*specs)
     data = bytes(exported.serialize())
     if path is not None:
         with open(path, "wb") as f:
