@@ -92,6 +92,10 @@ def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
     # AOT-compile so the executable's cost model supplies the MFU
     # denominator (same scheme as the inference path below, VERDICT r2 #7)
     compiled = step.lower(state, batch, key, hp).compile()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO -> {args.dump_hlo}", file=sys.stderr)
     for _ in range(args.warmup):
         state, metrics = compiled(state, batch, key, hp)
     jax.block_until_ready(metrics["loss"])

@@ -69,6 +69,165 @@ def categorize(full: str, fusion_kind=None) -> str:
     return "other"
 
 
+_SHAPE_RX = re.compile(r"(bf16|f32|f16|s8|s32|u8|u32|pred|s16|u16)\[([\d,]*)\]")
+_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "s8": 1, "u8": 1, "pred": 1,
+          "s16": 2, "u16": 2, "s32": 4, "u32": 4}
+
+
+def _numel(dims: str) -> int:
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n
+
+
+def _shape_bytes(m) -> int:
+    return _numel(m.group(2)) * _BYTES[m.group(1)]
+
+
+_OPERANDS_RX = re.compile(r"%([\w.\-]+)")
+
+
+def _operand_names(rhs: str, op: str):
+    """Operand instruction names inside ``op(...)``'s paren group (the
+    declared shape's tiling annotation ``{..:T(8,128)(2,1)}`` also has
+    parens, so start at the op keyword, not the first paren)."""
+    at = rhs.find(op + "(")
+    if at < 0:
+        return []
+    depth = 0
+    start = at + len(op) + 1
+    for i in range(at + len(op), len(rhs)):
+        ch = rhs[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return _OPERANDS_RX.findall(rhs[start:i])
+    return []
+
+
+def _conv_flops(body: str, ker_shape) -> int:
+    """2 * numel(out) * (kh*kw*Cin/groups): output shape is the
+    instruction's declared shape; ``ker_shape`` is the resolved second
+    operand (dtype, dims-string)."""
+    out = _SHAPE_RX.search(body)
+    if not out or not ker_shape:
+        return 0
+    ker_dims = [int(d) for d in ker_shape[1].split(",") if d]
+    lbl = re.search(r"dim_labels=\S*_(\S+?)->", body)
+    groups = re.search(r"feature_group_count=(\d+)", body)
+    g = int(groups.group(1)) if groups else 1
+    if lbl:
+        # kernel labels e.g. 01io / io01: 'o' marks the out-channel dim;
+        # contraction size = prod(all kernel dims except 'o')
+        red = 1
+        for ch, d in zip(lbl.group(1), ker_dims):
+            if ch != "o":
+                red *= d
+    else:
+        red = 1
+        for d in ker_dims[:-1]:
+            red *= d
+    return 2 * _numel(out.group(2)) * red // g
+
+
+def _dot_flops(body: str, lhs_shape) -> int:
+    out = _SHAPE_RX.search(body)
+    if not out or not lhs_shape:
+        return 0
+    lhs_dims = [int(d) for d in lhs_shape[1].split(",") if d]
+    m = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", body)
+    red = 1
+    if m:
+        for i in m.group(1).split(","):
+            if i:
+                red *= lhs_dims[int(i)]
+    # batch dims are in both lhs and out; 2*numel(out)*red covers them
+    return 2 * _numel(out.group(2)) * red
+
+
+def parse_hlo_roofline(path: str):
+    """Per-op FLOPs + operand/result bytes from optimized-HLO text: maps
+    each fusion/conv/dot op name -> flops / bytes.  Optimized HLO names
+    operands without inline shapes, so pass 1 builds a name->shape table
+    (instruction declared shapes + fused-computation parameter lists);
+    pass 2 computes conv/dot FLOPs (kernel/lhs shape looked up by operand
+    name) and attributes each fused computation's FLOPs to the fusion op
+    that calls it.  Bytes are the op's own result + operand shapes — the
+    HBM traffic a perfectly-fused op must still move."""
+    shape_of = {}
+    lines_by_comp = []          # (comp, name, body)
+    cur = None
+    def_rx = re.compile(r"^(?:ROOT )?%(\S+)\s*\((.*)\)\s*->.*\{\s*$")
+    param_rx = re.compile(r"([\w.\-]+):\s*(bf16|f32|f16|s8|s32|u8|u32|pred|"
+                          r"s16|u16)\[([\d,]*)\]")
+    call_rx = re.compile(r"calls=%([\w.\-]+)")
+    with open(path) as fh:
+        for raw in fh:
+            m = def_rx.match(raw)
+            if m:
+                cur = m.group(1)
+                for pm in param_rx.finditer(m.group(2)):
+                    shape_of[pm.group(1)] = (pm.group(2), pm.group(3))
+                continue
+            if raw.startswith("}"):
+                cur = None
+                continue
+            s = raw.strip()
+            if s.startswith("ROOT "):
+                s = s[5:].strip()
+            if not s.startswith("%") or " = " not in s:
+                continue
+            name = s.split(" = ", 1)[0].lstrip("%").strip()
+            sh = _SHAPE_RX.search(s.split(" = ", 1)[1])
+            if sh:
+                shape_of[name] = (sh.group(1), sh.group(2))
+            lines_by_comp.append((cur, name, s))
+
+    comp_flops = collections.Counter()
+    fusion_comp = {}
+    flops = {}
+    op_bytes = {}
+
+    def _io_bytes(name, rhs, kw):
+        total = 0
+        own = shape_of.get(name)
+        if own:
+            total += _numel(own[1]) * _BYTES[own[0]]
+        for op in _operand_names(rhs, kw):
+            sh = shape_of.get(op)
+            if sh:
+                total += _numel(sh[1]) * _BYTES[sh[0]]
+        return total
+
+    for comp, name, body in lines_by_comp:
+        rhs = body.split(" = ", 1)[1]
+        if " convolution(" in rhs:
+            ops = _operand_names(rhs, "convolution")
+            fl = _conv_flops(body, shape_of.get(ops[1]) if len(ops) > 1
+                             else None)
+            comp_flops[comp] += fl
+            flops[name] = fl
+            op_bytes[name] = _io_bytes(name, rhs, "convolution")
+        elif " dot(" in rhs:
+            ops = _operand_names(rhs, "dot")
+            fl = _dot_flops(body, shape_of.get(ops[0]) if ops else None)
+            comp_flops[comp] += fl
+            flops[name] = fl
+            op_bytes[name] = _io_bytes(name, rhs, "dot")
+        elif " fusion(" in rhs:
+            c = call_rx.search(rhs)
+            if c:
+                fusion_comp[name] = c.group(1)
+            op_bytes[name] = _io_bytes(name, rhs, "fusion")
+    for name, comp in fusion_comp.items():
+        flops[name] = comp_flops.get(comp, 0)
+    return flops, op_bytes
+
+
 def parse_hlo_fusion_kinds(path: str):
     """Map each fusion op's bare name to 'conv'/'dot' when its fused
     computation contains a convolution/dot (optimized-HLO text from
@@ -77,7 +236,7 @@ def parse_hlo_fusion_kinds(path: str):
     fusion_comp = {}
     cur = None
     def_rx = re.compile(r"^%(\S+)\s*\(.*\{\s*$")
-    call_rx = re.compile(r"calls=%(\S+?)[,)\s]")
+    call_rx = re.compile(r"calls=%([\w.\-]+)")
     with open(path) as fh:
         for line in fh:
             m = def_rx.match(line)
@@ -88,6 +247,8 @@ def parse_hlo_fusion_kinds(path: str):
                 cur = None
                 continue
             s = line.strip()
+            if s.startswith("ROOT "):
+                s = s[5:].strip()
             if cur is not None and s.startswith("%"):
                 if " convolution(" in s or s.split(" = ", 1)[-1].startswith(
                         "convolution("):
@@ -113,8 +274,20 @@ def main() -> None:
     ap.add_argument("--hlo", default=None,
                     help="optimized-HLO text from bench.py --dump-hlo; "
                          "classifies fusions containing conv/dot honestly")
+    ap.add_argument("--roofline", action="store_true",
+                    help="with --hlo: per-op roofline table — FLOPs from "
+                         "the conv/dot shapes inside each fusion, bytes "
+                         "from its operand/result shapes, bound = "
+                         "max(flops/SOL, bytes/BW) vs measured self-time")
+    ap.add_argument("--sol-tflops", type=float, default=156.0,
+                    help="compute speed-of-light (measured conv SOL here: "
+                         "bf16 156 TFLOP/s; v5e peak 197)")
+    ap.add_argument("--hbm-gbps", type=float, default=819.0,
+                    help="HBM bandwidth bound (v5e: 819 GB/s)")
     args = ap.parse_args()
     fusion_kind = parse_hlo_fusion_kinds(args.hlo) if args.hlo else None
+    roofline = (parse_hlo_roofline(args.hlo)
+                if (args.hlo and args.roofline) else None)
 
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -157,6 +330,36 @@ def main() -> None:
         for name, ps in by_op.most_common(args.top):
             print(f"   {100.0*ps/total_ps:5.1f}%  {ps/1e9:10.3f} ms  "
                   f"x{n_ev[name]:<6} {name[:110]}")
+        if roofline is None:
+            continue
+        flops_map, bytes_map = roofline
+        print(f"   -- roofline (top {args.top} by time; SOL "
+              f"{args.sol_tflops:.0f} TFLOP/s, HBM {args.hbm_gbps:.0f} "
+              f"GB/s) --")
+        print("   pct_time    ms/exec   TFLOP/s     GB/s  bound  "
+              "pct_of_bound  op")
+        tot_flops = tot_bound_ps = covered_ps = 0
+        for name, ps in by_op.most_common(args.top):
+            bare = name.split(" = ", 1)[0].lstrip("%").strip()
+            fl = flops_map.get(bare)
+            if fl is None:
+                continue
+            nb = bytes_map.get(bare, 0)
+            t_exec = ps / 1e12 / n_ev[name]            # seconds
+            t_comp = fl / (args.sol_tflops * 1e12)
+            t_mem = nb / (args.hbm_gbps * 1e9)
+            t_bound = max(t_comp, t_mem)
+            kind = "comp" if t_comp >= t_mem else "mem"
+            tot_flops += fl * n_ev[name]
+            tot_bound_ps += t_bound * n_ev[name] * 1e12
+            covered_ps += ps
+            print(f"   {100.0*ps/total_ps:5.1f}%  {t_exec*1e3:9.3f}  "
+                  f"{fl/t_exec/1e12:8.1f}  {nb/t_exec/1e9:7.0f}  {kind:>5}  "
+                  f"{100.0*t_bound/t_exec:11.0f}%  {bare[:70]}")
+        if covered_ps:
+            print(f"   covered: {100.0*covered_ps/total_ps:.1f}% of device "
+                  f"time; aggregate pct_of_bound over covered ops: "
+                  f"{100.0*tot_bound_ps/covered_ps:.0f}%")
 
 
 if __name__ == "__main__":
