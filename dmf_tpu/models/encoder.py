@@ -61,6 +61,20 @@ class Encoder(nn.Module):
         mask_attn_map = None
         mod_attn_map = None
 
+        # Cast the raw volume to the compute dtype at the boundary (no-op
+        # for fp32 configs).  Without this the modality-SE multiply
+        # promotes back to f32 (`x_f32 * w_bf16`), so the full-resolution
+        # input tensor rides f32 through the prologue fwd AND bwd — the
+        # r4 train profile showed the modality-SE weight-grad chain as f32
+        # [B,256,256,C] fusions + layout copies at 21-53% of roofline.
+        # Measured (r4, B=32 train step): structurally effective — copies
+        # 4.9%->4.0% of device time, 314->262 full-res f32 HLO tensors —
+        # but e2e-neutral (6.18->6.21 steps/s): XLA's bf16 tiny-channel
+        # full-res reduce emitter is slower per byte than the f32 one it
+        # replaces.  Kept for the cleaner all-bf16 compute path and the
+        # halved prologue HBM traffic.
+        x = jnp.asarray(x, self.dtype)
+
         # optional rematerialization of the heavy blocks (jax.checkpoint):
         # trades recompute for HBM in the backward pass
         if mc_cfg.remat:
