@@ -78,6 +78,27 @@ class TestEncoder:
         assert p1.shape == (2, 64, 64, 64)  # pooled to (proj_dim, proj_dim)
         assert aux["mod_attn_map"].shape == (2, 1, 1, 5)
 
+    def test_input_cast_to_compute_dtype(self):
+        """The encoder casts the raw f32 volume to its compute dtype at the
+        boundary, so the modality-SE multiply does not promote the full-res
+        input back to f32 (r4 train-profile finding; e2e-neutral but halves
+        the prologue HBM traffic — see the comment in models/encoder.py)."""
+        mc = small_model_cfg()
+        enc = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4,
+                      dtype=jnp.bfloat16)
+        x = jnp.ones((2, 32, 32, 5), jnp.float32)
+        (logits, aux, _), variables = init_and_apply(enc, x)
+        # the SE-scaled input (fed to the first conv) must be bf16, not a
+        # promoted f32 — pin it via the prefix_only split, which returns
+        # exactly the post-modality-SE tensor
+        x_in, _, _ = enc.apply(variables, x, prefix_only=True)
+        assert x_in.dtype == jnp.bfloat16
+        # fp32 configs are untouched by the boundary cast
+        enc32 = Encoder(method="dwi", config=mc, channel_num=5, num_classes=4)
+        (_, _, _), v32 = init_and_apply(enc32, x)
+        x_in32, _, _ = enc32.apply(v32, x, prefix_only=True)
+        assert x_in32.dtype == jnp.float32
+
     def test_hybrid_transformer(self):
         mc = small_model_cfg(use_hybrid_transformer=True)
         enc = Encoder(method="dce", config=mc, channel_num=6, num_classes=4)
