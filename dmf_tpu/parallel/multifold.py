@@ -2,13 +2,27 @@
 
 The reference trains its 5 stratified folds strictly sequentially — the
 outer product loop in run.py:59-76 re-enters ``Trainer.fit`` per fold.  On
-TPU the fold axis is embarrassingly parallel and, at the reference's anchor
-batch of 32, a single fold leaves the MXU underfed; ``jax.vmap`` over a
-stacked fold axis turns K optimizer states + K batches into one program
-whose convolutions run at K x the arithmetic intensity.  Semantics are
-EXACTLY K independent runs (per-fold dropout rngs, per-fold BN stats,
+TPU the fold axis is embarrassingly parallel: ``jax.vmap`` over a stacked
+fold axis turns K optimizer states + K batches into one program.  Semantics
+are EXACTLY K independent runs (per-fold dropout rngs, per-fold BN stats,
 per-fold Adam moments; pinned by tests/test_multifold.py against
 sequential execution).
+
+Where it wins — measured honestly (r4, v5e-1): on a SINGLE chip it does
+NOT.  The full-geometry fusion step is conv-roofline-bound already at
+batch 8 (24.3 steps/s = 194 samples/s, within 3% of B=32's 199), so there
+is no underfed regime for the fold axis to fill; vmapping folds only grows
+the live working set (K x optimizer/activation states — K=5 x B=32 wants
+139.5 GB vs 15.75 GB HBM) and costs MFU (K=5 x B=8: 149 samples/s = 34.4%
+MFU; K=2 x B=32: 160 samples/s = 38.3% MFU; sequential B=32: 199 samples/s
+at 44.6% MFU).  The fold axis pays off across DEVICES: with ``mesh=`` the
+K folds ride K data-axis device groups via ``shard_map`` with ZERO
+collectives (folds never communicate), turning 5-fold CV into one
+near-linear SPMD program on a pod slice — validated on the 8-device
+virtual mesh (tests/test_multifold.py, sharded ≡ unsharded) and in the
+flagship dryrun.  Single-chip runs should keep the sequential loop; the
+``--parallel-folds`` product path is for meshes (and for small models /
+tiny batches that genuinely underfeed a chip).
 
 Composes with SPMD via ``shard_map`` (pass ``mesh=``): each data-axis
 device group trains K/n_data folds locally — folds never communicate, so
