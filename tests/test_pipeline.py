@@ -297,3 +297,44 @@ class TestNoCompatADC:
                                      chunk=3)
         np.testing.assert_allclose(np.asarray(ev), ev_chunked,
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestMultifoldPipeline:
+    """The fold-parallel PRODUCT path (cli.py run --parallel-folds ->
+    run_single_model_multifold): per-fold results must match the
+    sequential product path (run.py:121-163's loop, which the vmapped
+    program replaces), and every per-fold artifact must land on disk."""
+
+    def test_fold_parallel_matches_sequential(self, tiny_cfg, single_results,
+                                              tmp_path_factory):
+        from dmf_tpu.pipeline.run_single import run_single_model_multifold
+
+        _, out = single_results
+        mf_dir = str(tmp_path_factory.mktemp("results_mf"))
+        mf = run_single_model_multifold(
+            tiny_cfg, "dwi", [0, 1], num_epochs=2, min_epochs=1,
+            base_dir=mf_dir, export_splits=False,
+        )
+        assert set(mf) == {0, 1}
+
+        # fold 0 must reproduce the sequential product path (vmap float
+        # reassociation tolerance, as in tests/test_multifold_loop.py)
+        seq = out["dwi"]
+        np.testing.assert_allclose(
+            np.asarray(mf[0]["test_probs"]), np.asarray(seq["test_probs"]),
+            rtol=2e-4, atol=1e-5)
+        for k, v in seq["test_metrics"].items():
+            np.testing.assert_allclose(
+                mf[0]["test_metrics"][k], v, rtol=2e-4, atol=1e-6,
+                err_msg=k)
+
+        # per-fold artifacts: metrics json + best checkpoint per fold
+        for f in (0, 1):
+            root = os.path.join(mf_dir, "dwi", f"fold_{f}")
+            assert os.path.exists(os.path.join(root, "metrics.json")), f
+            assert os.path.exists(
+                os.path.join(root, "checkpoints", "best.msgpack")), f
+
+        # fold 1 trains on a different split: genuinely different output
+        assert not np.allclose(np.asarray(mf[1]["test_probs"])[:4],
+                               np.asarray(mf[0]["test_probs"])[:4])
