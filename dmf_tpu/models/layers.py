@@ -362,7 +362,10 @@ class ResLiteBlock(nn.Module):
             mc_drop = mc and self.dropout > 0
             # the two cases are gated separately: the MC-vmap dispatch is a
             # measured default-on win; the drop-free eval dispatch (grid
-            # marked parallel) has its own gate pending its own measurement
+            # marked parallel) measured an e2e LOSS both times it was tried
+            # (fp serving 741 vs 766-771; re-measured with the layout-matched
+            # variant 828.6 vs 857.8 — XLA co-fuses the eval chain into the
+            # preceding conv) so it stays opt-in (DMF_FUSED_EPILOGUE_EVAL=1)
             gate = ep.enabled() if mc_drop else ep.enabled_eval()
             if (jax.default_backend() == "tpu" and gate
                     and out.ndim == 4 and ep.fits_vmem(out.shape, out.dtype)
