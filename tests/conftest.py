@@ -40,6 +40,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fullgeom: full-geometry (256², 14/6ch) parity races vs the genuine "
+        "reference — slow; gated behind DMF_FULLGEOM=1, run once per round",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
