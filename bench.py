@@ -131,6 +131,139 @@ def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
     _emit(result, args.out)
 
 
+def _bench_numerics(args, cfg, dwi, dce, fusion, variables) -> None:
+    """Quantify bf16-vs-fp32 numerics at FULL geometry (VERDICT r4 #2).
+
+    The AUC-within-0.01 north star (BASELINE.md) ships on the bf16 compute
+    path while every genuine-reference parity race runs fp32 on CPU — this
+    measures the last link: train the flagship fusion stack briefly on the
+    class-scaled synthetic blobs (so the classifier is non-degenerate, not
+    a random-init argmax coin flip), then run the SAME trained weights
+    through the bf16 serving path and an fp32 path traced under
+    ``jax.default_matmul_precision('highest')`` (on TPU, fp32 arrays with
+    DEFAULT precision still contract in bf16 passes — 'highest' is the
+    true-fp32 reference), and report argmax agreement, max class-prob
+    delta, and the AUC delta against the 0.01 parity budget.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmf_tpu.evals.metrics import multiclass_auroc
+    from dmf_tpu.losses import get_mask_loss_fn, soft_weighted_focal_loss
+    from dmf_tpu.models import Encoder, FusionModel
+    from dmf_tpu.models.backbones import resnet50_features
+    from dmf_tpu.train import FusionOptController, TrainState, adamw_init
+    from dmf_tpu.train.fusion import (
+        build_fusion_group_spec,
+        make_fusion_apply,
+        make_fusion_train_step,
+    )
+
+    S = args.image_size
+    TRAIN_B = 32  # the reference training batch (parameters_generate.py:31)
+    n_train = max(TRAIN_B * 4, 128)
+    arr = _volumes2(n_train, args.numerics_test_n, S, cfg.dwi_channel_num,
+                    cfg.dce_channel_num, cfg.class_num, seed=0)
+
+    # --- stage 1: brief bf16 training so probs/AUC are non-degenerate ---
+    params = {m: variables[m]["params"] for m in variables}
+    batch_stats = {m: variables[m].get("batch_stats", {}) for m in variables}
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=adamw_init(params),
+                       step=jnp.zeros((), jnp.int32))
+    clf = lambda lo, t: soft_weighted_focal_loss(lo, t, 1.5, None)
+    spec = build_fusion_group_spec(state.params, cfg)
+    step = make_fusion_train_step(
+        cfg, dwi, dce, fusion, clf, get_mask_loss_fn(cfg, "fusion"), spec,
+        donate=True)
+    hp = FusionOptController(cfg).hyperparams()
+    xs = {k: jnp.asarray(arr[k]) for k in ("dwi", "dce", "masks")}
+    labels = jnp.asarray(arr["labels"], jnp.int32)
+    loss = None
+    for i in range(args.numerics_train_steps):
+        lo = (i * TRAIN_B) % n_train
+        sl = slice(lo, lo + TRAIN_B)
+        batch = {"dwi": xs["dwi"][sl], "dce": xs["dce"][sl],
+                 "masks": xs["masks"][sl], "labels": labels[sl],
+                 "aux_w": jnp.asarray(1.0, jnp.float32)}
+        state, metrics = step(state, batch, jax.random.PRNGKey(1000 + i), hp)
+        loss = metrics["loss"]
+    final_loss = float(loss) if loss is not None else float("nan")
+    trained = {m: {"params": state.params[m],
+                   "batch_stats": state.batch_stats[m]}
+               for m in ("dwi", "dce", "fusion")}
+
+    # --- stage 2: same weights through bf16 and true-fp32 eval paths ---
+    f32 = jnp.float32
+    use_backbone = cfg.dwi_model.use_backbone
+    dwi32 = Encoder(method="dwi", config=cfg.dwi_model,
+                    channel_num=cfg.dwi_channel_num,
+                    num_classes=cfg.class_num, dtype=f32,
+                    backbone=resnet50_features(cfg.dwi_channel_num, dtype=f32)
+                    if use_backbone else None)
+    dce32 = Encoder(method="dce", config=cfg.dce_model,
+                    channel_num=cfg.dce_channel_num,
+                    num_classes=cfg.class_num, dtype=f32,
+                    backbone=resnet50_features(cfg.dce_channel_num, dtype=f32)
+                    if use_backbone else None)
+    fusion32 = FusionModel(config=cfg.fusion_model,
+                           num_classes=cfg.class_num, dtype=f32)
+    apply16 = make_fusion_apply(dwi, dce, fusion)
+    apply32 = make_fusion_apply(dwi32, dce32, fusion32)
+
+    @jax.jit
+    def probs16(variables, xd, xc):
+        logits = apply16(variables, xd, xc, train=False)[0]
+        return jax.nn.softmax(logits.astype(f32), axis=-1)
+
+    @jax.jit
+    def probs32(variables, xd, xc):
+        with jax.default_matmul_precision("highest"):
+            logits = apply32(variables, xd.astype(f32), xc.astype(f32),
+                             train=False)[0]
+        return jax.nn.softmax(logits, axis=-1)
+
+    p16, p32 = [], []
+    n_test = len(arr["labels_test"])
+    for lo in range(0, n_test, args.batch):
+        xd = jnp.asarray(arr["dwi_test"][lo:lo + args.batch])
+        xc = jnp.asarray(arr["dce_test"][lo:lo + args.batch])
+        p16.append(np.asarray(probs16(trained, xd, xc)))
+        p32.append(np.asarray(probs32(trained, xd, xc)))
+    p16 = np.concatenate(p16)
+    p32 = np.concatenate(p32)
+    y = np.asarray(arr["labels_test"])
+
+    auc16 = multiclass_auroc(p16, y, cfg.class_num)
+    auc32 = multiclass_auroc(p32, y, cfg.class_num)
+    delta = abs(auc16 - auc32)
+    _emit({
+        "metric": "bf16_vs_fp32_numerics",
+        "value": round(delta, 5),
+        "unit": "abs AUC delta (bf16 vs fp32-highest, same trained weights)",
+        "vs_baseline": round(delta / 0.01, 4),  # share of the parity budget
+        "auc_bf16": round(auc16, 5),
+        "auc_fp32": round(auc32, 5),
+        "argmax_agreement": round(float((p16.argmax(-1) ==
+                                         p32.argmax(-1)).mean()), 4),
+        "max_prob_delta": round(float(np.abs(p16 - p32).max()), 5),
+        "train_steps": args.numerics_train_steps,
+        "final_train_loss": round(final_loss, 4),
+        "test_n": n_test,
+    }, args.out)
+
+
+def _volumes2(n_train, n_test, size, dwi_ch, dce_ch, num_classes, seed):
+    from dmf_tpu.data.synthetic import make_synthetic_arrays
+
+    return make_synthetic_arrays(
+        n_train=n_train, n_test=n_test, image_size=size,
+        dwi_channels=dwi_ch, dce_channels=dce_ch, num_classes=num_classes,
+        mask_size=32, seed=seed,
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=128,
@@ -161,6 +294,15 @@ def main() -> None:
                              "roofline), fp for every stochastic MC pass "
                              "(ops/quant.py::make_hybrid_fusion_fwd); "
                              "prints ensemble agreement vs the fp path")
+    parser.add_argument("--numerics", action="store_true",
+                        help="quantify bf16-vs-fp32 numerics at full "
+                             "geometry: brief synthetic training, then the "
+                             "same weights through the bf16 serving path "
+                             "and a true-fp32 (matmul precision 'highest') "
+                             "path — reports argmax agreement, max prob "
+                             "delta, and AUC delta vs the 0.01 budget")
+    parser.add_argument("--numerics-train-steps", type=int, default=300)
+    parser.add_argument("--numerics-test-n", type=int, default=512)
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fusion training step instead "
                              "(reports steps/sec; BASELINE.md tracks this "
@@ -294,6 +436,9 @@ def main() -> None:
         # training has no int8 path (PTQ is inference-only); dispatch
         # before any quantization setup
         _bench_train(args, cfg, dwi, dce, fusion, variables)
+        return
+    if args.numerics:
+        _bench_numerics(args, cfg, dwi, dce, fusion, variables)
         return
 
     # Nyul landmarks (fitted offline in the real pipeline)

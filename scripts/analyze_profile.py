@@ -157,7 +157,12 @@ def parse_hlo_roofline(path: str):
     pass 2 computes conv/dot FLOPs (kernel/lhs shape looked up by operand
     name) and attributes each fused computation's FLOPs to the fusion op
     that calls it.  Bytes are the op's own result + operand shapes — the
-    HBM traffic a perfectly-fused op must still move."""
+    HBM traffic a perfectly-fused op must still move.
+
+    Returns ``(flops, op_bytes, int8_ops)``: the third item is the set of
+    op names whose conv/dot contracts s8 operands (the PTQ serving path,
+    ops/quant.py) — those ops are measured against the int8 TOP/s
+    speed-of-light, not the bf16 one (VERDICT r4 #4)."""
     shape_of = {}
     lines_by_comp = []          # (comp, name, body)
     cur = None
@@ -188,9 +193,15 @@ def parse_hlo_roofline(path: str):
             lines_by_comp.append((cur, name, s))
 
     comp_flops = collections.Counter()
+    comp_int8 = set()
     fusion_comp = {}
     flops = {}
     op_bytes = {}
+    int8_ops = set()
+
+    def _is_s8(op_name):
+        sh = shape_of.get(op_name)
+        return bool(sh) and sh[0] in ("s8", "u8")
 
     def _io_bytes(name, rhs, kw):
         total = 0
@@ -212,12 +223,18 @@ def parse_hlo_roofline(path: str):
             comp_flops[comp] += fl
             flops[name] = fl
             op_bytes[name] = _io_bytes(name, rhs, "convolution")
+            if len(ops) > 1 and _is_s8(ops[1]):
+                int8_ops.add(name)
+                comp_int8.add(comp)
         elif " dot(" in rhs:
             ops = _operand_names(rhs, "dot")
             fl = _dot_flops(body, shape_of.get(ops[0]) if ops else None)
             comp_flops[comp] += fl
             flops[name] = fl
             op_bytes[name] = _io_bytes(name, rhs, "dot")
+            if ops and _is_s8(ops[0]):
+                int8_ops.add(name)
+                comp_int8.add(comp)
         elif " fusion(" in rhs:
             c = call_rx.search(rhs)
             if c:
@@ -225,7 +242,9 @@ def parse_hlo_roofline(path: str):
             op_bytes[name] = _io_bytes(name, rhs, "fusion")
     for name, comp in fusion_comp.items():
         flops[name] = comp_flops.get(comp, 0)
-    return flops, op_bytes
+        if comp in comp_int8:
+            int8_ops.add(name)
+    return flops, op_bytes, int8_ops
 
 
 def parse_hlo_fusion_kinds(path: str):
@@ -282,6 +301,10 @@ def main() -> None:
     ap.add_argument("--sol-tflops", type=float, default=156.0,
                     help="compute speed-of-light (measured conv SOL here: "
                          "bf16 156 TFLOP/s; v5e peak 197)")
+    ap.add_argument("--sol-int8-tops", type=float, default=265.0,
+                    help="int8 compute speed-of-light for ops whose "
+                         "conv/dot contracts s8 operands (measured conv "
+                         "SOL here: 265 TOP/s; v5e peak 394)")
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
                     help="HBM bandwidth bound (v5e: 819 GB/s)")
     args = ap.parse_args()
@@ -332,10 +355,11 @@ def main() -> None:
                   f"x{n_ev[name]:<6} {name[:110]}")
         if roofline is None:
             continue
-        flops_map, bytes_map = roofline
+        flops_map, bytes_map, int8_ops = roofline
         print(f"   -- roofline (top {args.top} by time; SOL "
-              f"{args.sol_tflops:.0f} TFLOP/s, HBM {args.hbm_gbps:.0f} "
-              f"GB/s) --")
+              f"{args.sol_tflops:.0f} bf16 TFLOP/s / "
+              f"{args.sol_int8_tops:.0f} int8 TOP/s, HBM "
+              f"{args.hbm_gbps:.0f} GB/s) --")
         print("   pct_time    ms/exec   TFLOP/s     GB/s  bound  "
               "pct_of_bound  op")
         tot_flops = tot_bound_ps = covered_ps = 0
@@ -345,17 +369,20 @@ def main() -> None:
             if fl is None:
                 continue
             nb = bytes_map.get(bare, 0)
+            sol = (args.sol_int8_tops if bare in int8_ops
+                   else args.sol_tflops)
             t_exec = ps / 1e12 / n_ev[name]            # seconds
-            t_comp = fl / (args.sol_tflops * 1e12)
+            t_comp = fl / (sol * 1e12)
             t_mem = nb / (args.hbm_gbps * 1e9)
             t_bound = max(t_comp, t_mem)
             kind = "comp" if t_comp >= t_mem else "mem"
+            tag = " i8" if bare in int8_ops else ""
             tot_flops += fl * n_ev[name]
             tot_bound_ps += t_bound * n_ev[name] * 1e12
             covered_ps += ps
             print(f"   {100.0*ps/total_ps:5.1f}%  {t_exec*1e3:9.3f}  "
                   f"{fl/t_exec/1e12:8.1f}  {nb/t_exec/1e9:7.0f}  {kind:>5}  "
-                  f"{100.0*t_bound/t_exec:11.0f}%  {bare[:70]}")
+                  f"{100.0*t_bound/t_exec:11.0f}%  {bare[:67]}{tag}")
         if covered_ps:
             print(f"   covered: {100.0*covered_ps/total_ps:.1f}% of device "
                   f"time; aggregate pct_of_bound over covered ops: "
