@@ -131,6 +131,101 @@ def _bench_train(args, cfg, dwi, dce, fusion, variables) -> None:
     _emit(result, args.out)
 
 
+def _bench_train_e2e(args, cfg, dwi, dce, fusion, variables) -> None:
+    """Sustained PRODUCT-loop training throughput (VERDICT r4 #5).
+
+    ``--train`` times a pre-staged donated device batch — no host
+    iterate_batches, no transfer, no augmentation, no eval/checkpoint
+    overhead.  This runs the real fit loop (train/loop.py) for a few
+    epochs at full geometry and reports the sustained train-phase steps/s
+    (epochs after the first — epoch 0 pays the XLA compile) next to the
+    whole-loop wall rate including eval + best-checkpointing.  The
+    reference parallelized its input pipeline with an 11-worker DataLoader
+    (prepare_single_model.py:141); this measures what our replacement
+    (host prefetch + on-device augmentation) actually sustains.
+
+    ``--train-e2e fusion``: fit_fusion from cached processed tensors (the
+    reference's fusion regime, prepare_single_model.py:154-174) — compare
+    to the bare-step headline.  ``--train-e2e single``: fit_single with
+    the REAL per-batch ModalityProcessor.train_batch (random affine/flip
+    augmentation + z-score + ADC append on device, train/loop.py:229).
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmf_tpu.train import TrainState
+
+    B, S = args.batch, args.image_size
+    n_train, n_val = 16 * B, max(B // 4, 8)
+    epochs = args.train_e2e_epochs
+    workdir = tempfile.mkdtemp(prefix="dmf_e2e_")
+    t0 = time.perf_counter()
+    if args.train_e2e == "fusion":
+        from dmf_tpu.train.loop import fit_fusion
+
+        arr = _volumes2(n_train, n_val, S, cfg.dwi_channel_num,
+                        cfg.dce_channel_num, cfg.class_num, seed=0)
+        params = {m: variables[m]["params"] for m in variables}
+        stats = {m: variables[m].get("batch_stats", {}) for m in variables}
+        from dmf_tpu.train import adamw_init
+
+        state = TrainState(params=params, batch_stats=stats,
+                           opt_state=adamw_init(params),
+                           step=jnp.zeros((), jnp.int32))
+        res = fit_fusion(
+            cfg, dwi, dce, fusion, state,
+            train_data={"dwi": arr["dwi"], "dce": arr["dce"],
+                        "masks": arr["masks"], "labels": arr["labels"]},
+            val_data={"dwi": arr["dwi_test"], "dce": arr["dce_test"],
+                      "labels": arr["labels_test"]},
+            workdir=workdir, num_epochs=epochs, min_epochs=epochs,
+            viz_every=0,
+        )
+        metric = "fusion_train_e2e_throughput"
+    else:
+        from dmf_tpu.data.modality import ModalityProcessor
+        from dmf_tpu.train import SingleModelOptController
+        from dmf_tpu.train.loop import fit_single
+
+        arr = _volumes2(n_train, n_val, S, cfg.dwi_base_channel_num,
+                        cfg.dce_channel_num, cfg.class_num, seed=0)
+        processor = ModalityProcessor(
+            cfg, "dwi", adc_map=jnp.full((S, S, 1), 0.5, jnp.float32))
+        controller = SingleModelOptController(cfg, "dwi")
+        state = TrainState.create(variables["dwi"])
+        res = fit_single(
+            cfg, "dwi", dwi, state,
+            train_data={"imgs": arr["dwi"], "masks": arr["masks"],
+                        "labels": arr["labels"]},
+            val_data={"imgs": arr["dwi_test"],
+                      "labels": arr["labels_test"]},
+            processor=processor, controller=controller, workdir=workdir,
+            num_epochs=epochs, min_epochs=epochs, viz_every=0,
+        )
+        metric = "single_train_e2e_throughput"
+    wall = time.perf_counter() - t0
+
+    steps_per_epoch = -(-n_train // B)
+    train_times = [h["train_time"] for h in res.history]
+    sustained = (steps_per_epoch * (epochs - 1) / sum(train_times[1:])
+                 if epochs > 1 else steps_per_epoch / train_times[0])
+    _emit({
+        "metric": metric,
+        "value": round(sustained, 3),
+        "unit": f"steps/sec (product fit loop, batch {B}, "
+                f"train phase, warm epochs)",
+        "vs_baseline": round(sustained * B / 500.0, 4),
+        "wall_steps_per_sec": round(steps_per_epoch * epochs / wall, 3),
+        "first_epoch_time_s": round(train_times[0], 1),
+        "epochs": epochs,
+        "steps_per_epoch": steps_per_epoch,
+        "epoch_times_s": [round(t, 2) for t in train_times],
+    }, args.out)
+
+
 def _bench_numerics(args, cfg, dwi, dce, fusion, variables) -> None:
     """Quantify bf16-vs-fp32 numerics at FULL geometry (VERDICT r4 #2).
 
@@ -294,6 +389,13 @@ def main() -> None:
                              "roofline), fp for every stochastic MC pass "
                              "(ops/quant.py::make_hybrid_fusion_fwd); "
                              "prints ensemble agreement vs the fp path")
+    parser.add_argument("--train-e2e", nargs="?", const="fusion",
+                        choices=["fusion", "single"], default=None,
+                        help="sustained PRODUCT fit-loop throughput (host "
+                             "pipeline + transfer + eval + ckpt; 'single' "
+                             "adds real per-batch augmentation) vs the "
+                             "bare-step --train number")
+    parser.add_argument("--train-e2e-epochs", type=int, default=3)
     parser.add_argument("--numerics", action="store_true",
                         help="quantify bf16-vs-fp32 numerics at full "
                              "geometry: brief synthetic training, then the "
@@ -439,6 +541,9 @@ def main() -> None:
         return
     if args.numerics:
         _bench_numerics(args, cfg, dwi, dce, fusion, variables)
+        return
+    if args.train_e2e:
+        _bench_train_e2e(args, cfg, dwi, dce, fusion, variables)
         return
 
     # Nyul landmarks (fitted offline in the real pipeline)

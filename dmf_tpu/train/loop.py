@@ -252,6 +252,10 @@ def fit_single(
                 train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
 
         epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
+        # wall time of the train phase alone (host pipeline + augment +
+        # transfer + step) — the e2e-vs-bare-step comparison in
+        # ``bench.py --train-e2e`` reads this
+        epoch_metrics["train_time"] = time.time() - t0
 
         # ---- validation ----
         val_meters: Dict[str, MeanMetric] = {}
@@ -473,6 +477,8 @@ def fit_fusion(
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
         epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
+        # train-phase wall time (see fit_single; read by bench --train-e2e)
+        epoch_metrics["train_time"] = time.time() - t0
 
         val_meters: Dict[str, MeanMetric] = {}
         all_probs, all_labels = [], []
