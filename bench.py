@@ -184,7 +184,8 @@ def _bench_train_e2e(args, cfg, dwi, dce, fusion, variables) -> None:
             workdir=workdir, num_epochs=epochs, min_epochs=epochs,
             viz_every=0,
         )
-        metric = "fusion_train_e2e_throughput"
+        metric = ("fusion_train_e2e_throughput"
+                  + ("_native" if args.native_loader else ""))
     else:
         from dmf_tpu.data.modality import ModalityProcessor
         from dmf_tpu.train import SingleModelOptController
@@ -205,7 +206,8 @@ def _bench_train_e2e(args, cfg, dwi, dce, fusion, variables) -> None:
             processor=processor, controller=controller, workdir=workdir,
             num_epochs=epochs, min_epochs=epochs, viz_every=0,
         )
-        metric = "single_train_e2e_throughput"
+        metric = ("single_train_e2e_throughput"
+                  + ("_native" if args.native_loader else ""))
     wall = time.perf_counter() - t0
 
     steps_per_epoch = -(-n_train // B)
@@ -370,6 +372,17 @@ def main() -> None:
     parser.add_argument("--image-size", type=int, default=256)
     parser.add_argument("--mode", default="normal",
                         choices=["normal", "tta", "mc", "tta_mc"])
+    parser.add_argument("--encoder", default="resnet",
+                        choices=["resnet", "vit", "hybrid", "hybrid-nb"],
+                        help="encoder variant: the radimagenet-ResNet50 "
+                             "flagship (default), the ViT/DINO-backboned "
+                             "path (foundation_model.py:371-431), the "
+                             "hybrid CNN->Transformer final stage "
+                             "(transformer_model.py:137-175; 256 tokens "
+                             "with the backbone), or the no-backbone "
+                             "hybrid at 256^2 (f2 128^2, patch 2 -> 4096 "
+                             "tokens — the flash-attention-eligible "
+                             "geometry; gate A/B via DMF_FLASH_ATTN)")
     parser.add_argument("--no-preprocess", action="store_true")
     parser.add_argument("--mc-chunk", type=int, default=None,
                         help="run MC passes in sequential chunks of this "
@@ -396,6 +409,12 @@ def main() -> None:
                              "adds real per-batch augmentation) vs the "
                              "bare-step --train number")
     parser.add_argument("--train-e2e-epochs", type=int, default=3)
+    parser.add_argument("--native-loader", action="store_true",
+                        help="with --train-e2e: feed the fit loop through "
+                             "the C++ threaded NativeBatchLoader "
+                             "(Config.use_native_loader) instead of the "
+                             "Python iterate_batches path — the A/B that "
+                             "gives the opt-in loader a measured verdict")
     parser.add_argument("--numerics", action="store_true",
                         help="quantify bf16-vs-fp32 numerics at full "
                              "geometry: brief synthetic training, then the "
@@ -481,11 +500,22 @@ def main() -> None:
     from dmf_tpu.train.fusion import make_fusion_apply
 
     cfg = default_parameters(batch_size=args.batch)
+    if args.native_loader:
+        cfg = cfg.replace(use_native_loader=True)
     from dmf_tpu.ops import kernel_gates
 
     kernel_gates.configure(cfg.serving_kernels)
+    base_mc = cfg.dwi_model
+    if args.encoder == "vit":
+        base_mc = dataclasses.replace(base_mc,
+                                      backbone_str="vit_base_patch16_224")
+    elif args.encoder == "hybrid":
+        base_mc = dataclasses.replace(base_mc, use_hybrid_transformer=True)
+    elif args.encoder == "hybrid-nb":
+        base_mc = dataclasses.replace(base_mc, use_backbone=False,
+                                      use_hybrid_transformer=True)
     dwi_mc = dataclasses.replace(
-        resolve_backbone_config(cfg.dwi_model), input_size=args.image_size
+        resolve_backbone_config(base_mc), input_size=args.image_size
     )
     if args.quick:
         dwi_mc = dataclasses.replace(dwi_mc, channels=(32, 64, 128),
@@ -494,13 +524,25 @@ def main() -> None:
                                  dwi_out_channels=128, dce_out_channels=128)
     else:
         fs = cfg.fusion_model.fusion_specific
+        if args.encoder == "vit":
+            # ViT chains carry 768ch into f3 (foundation_model.py:527-536)
+            fs = dataclasses.replace(fs, dwi_out_channels=768,
+                                     dce_out_channels=768)
     fusion_mc = dataclasses.replace(dwi_mc, fusion_specific=fs)
     cfg = cfg.replace(dwi_model=dwi_mc, dce_model=dwi_mc, fusion_model=fusion_mc)
 
     dtype = jnp.bfloat16
     use_backbone = cfg.dwi_model.use_backbone
-    dwi_backbone = resnet50_features(cfg.dwi_channel_num, dtype=dtype) if use_backbone else None
-    dce_backbone = resnet50_features(cfg.dce_channel_num, dtype=dtype) if use_backbone else None
+    if use_backbone and cfg.dwi_model.transformer_backbone:
+        from dmf_tpu.models.backbones import vit_base_patch16
+
+        dwi_backbone = vit_base_patch16(cfg.dwi_channel_num,
+                                        img_size=args.image_size, dtype=dtype)
+        dce_backbone = vit_base_patch16(cfg.dce_channel_num,
+                                        img_size=args.image_size, dtype=dtype)
+    else:
+        dwi_backbone = resnet50_features(cfg.dwi_channel_num, dtype=dtype) if use_backbone else None
+        dce_backbone = resnet50_features(cfg.dce_channel_num, dtype=dtype) if use_backbone else None
 
     dwi = Encoder(method="dwi", config=cfg.dwi_model,
                   channel_num=cfg.dwi_channel_num, num_classes=cfg.class_num,
@@ -676,6 +718,8 @@ def main() -> None:
         metric += "_int8"
     if args.int8_prefix:
         metric += "_int8prefix"
+    if args.encoder != "resnet":
+        metric += "_" + args.encoder.replace("-", "_")
     result = {
         "metric": metric,
         "value": round(volumes_per_sec, 2),

@@ -228,6 +228,10 @@ class ServingKernelConfig:
     # Nyul landmark percentiles from every k-th pixel (DMF_NYUL_STRIDE;
     # default 1 = exact; the serving bench uses 4, agreement 1.00)
     nyul_stride: Optional[int] = None
+    # Pallas flash-attention dispatch (DMF_FLASH_ATTN; default: auto —
+    # on-TPU when N >= 512 and block-aligned, ops/attention.py; False
+    # forces the fused-XLA einsum path for A/B measurement)
+    flash_attention: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -260,6 +264,13 @@ class Config:
     # prepare_single_model.py:141); silently falls back to the Python
     # path when the library is unavailable
     use_native_loader: bool = False
+    # stage whole train/val splits into HBM once and gather batches on
+    # device (data/pipeline.py::stage_dataset_to_device) — removes the
+    # per-step host->device batch transfer, which capped the fit loop at
+    # 0.2 steps/s on the tunneled v5e (vs 6.2 bare-step).  None = auto:
+    # on for TPU backends when the split is < 4 GiB; mesh runs keep the
+    # sharded host-prefetch path either way
+    device_data: Optional[bool] = None
 
     num_epochs: int = 900
     batch_size: int = 32

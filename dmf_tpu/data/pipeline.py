@@ -13,6 +13,7 @@ import collections
 from typing import Dict, Iterator, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -98,6 +99,39 @@ def prefetch_to_device(
         yield queue.popleft()
 
 
+def stage_dataset_to_device(dataset: ArrayDataset) -> Dict[str, jax.Array]:
+    """Stage the whole dataset into device memory once (cached).
+
+    The TPU-native answer to a per-step host->HBM bottleneck: the tensor
+    stores this pipeline serves (SURVEY §2.2; a few GB at most) fit in one
+    chip's HBM, so batches become on-device gathers (~GB/s-scale HBM
+    copies) instead of per-step host transfers.  Measured on the tunneled
+    v5e (r5): the fusion fit loop's 168 MB/step host transfer capped the
+    product loop at 0.2 steps/s vs the 6.2 bare step; device-resident
+    data removes that term entirely.
+    """
+    cached = getattr(dataset, "_device_arrays", None)
+    if cached is None:
+        cached = {k: jax.device_put(np.ascontiguousarray(v))
+                  for k, v in dataset.arrays.items()}
+        dataset._device_arrays = cached
+    return cached
+
+
+def device_data_auto(dataset: ArrayDataset, override: Optional[bool] = None,
+                     limit_bytes: int = 4 << 30) -> bool:
+    """Resolve the device-residency decision: explicit ``override`` wins;
+    otherwise stage on TPU backends when the dataset fits under
+    ``limit_bytes`` (CPU backends gain nothing — host memory IS device
+    memory there)."""
+    if override is not None:
+        return bool(override)
+    if jax.default_backend() != "tpu":
+        return False
+    total = sum(int(v.nbytes) for v in dataset.arrays.values())
+    return total <= limit_bytes
+
+
 def iterate_batches(
     dataset: ArrayDataset,
     batch_size: int,
@@ -109,6 +143,7 @@ def iterate_batches(
     prefetch: int = 2,
     sharding=None,
     native: bool = False,
+    device: bool = False,
 ) -> Iterator[Dict[str, jax.Array]]:
     """Batch iterator with a validity mask and device prefetch.
 
@@ -118,7 +153,37 @@ def iterate_batches(
     (utils/native.py::NativeBatchLoader — threaded gather into a ring of
     slots, the reference's num_workers=11 DataLoader analogue); falls back
     to the Python path when the library is unavailable.
+
+    ``device=True`` (single-device path only — a mesh ``sharding`` keeps
+    the host route) stages the dataset into HBM once
+    (:func:`stage_dataset_to_device`) and yields on-device gathers; the
+    per-step host->device traffic drops to the index vector, and the
+    ``valid`` mask stays a host numpy array (callers read it without a
+    device sync).
     """
+    if device and sharding is None:
+        dev = stage_dataset_to_device(dataset)
+        gather = getattr(dataset, "_device_gather", None)
+        if gather is None:
+            gather = jax.jit(
+                lambda arrs, idx: jax.tree.map(
+                    lambda a: jnp.take(a, idx, axis=0), arrs))
+            dataset._device_gather = gather
+        for idx in batch_indices(
+            len(dataset), batch_size, shuffle, rng, drop_last, pad_to_batch,
+            pad_to_multiple,
+        ):
+            batch = dict(gather(dev, jnp.asarray(idx)))
+            valid = np.zeros(len(idx), np.float32)
+            seen = set()
+            for i, j in enumerate(idx):
+                if j not in seen:
+                    valid[i] = 1.0
+                    seen.add(j)
+            batch["valid"] = valid
+            yield batch
+        return
+
     if native:
         it = _native_host_batches(dataset, batch_size, shuffle, rng,
                                   drop_last, pad_to_batch, pad_to_multiple)

@@ -48,6 +48,7 @@ def scaled_dot_product_attention(
         # N % 512 for N >= 512 (N=2304 is %128-aligned but %512 == 256 and
         # would raise inside the kernel)
         from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
+        from .kernel_gates import flag
 
         n = q.shape[-2]
         use_pallas = (
@@ -58,6 +59,12 @@ def scaled_dot_product_attention(
             and n % min(DEFAULT_BLOCK_K, n) == 0
             and jax.default_backend() == "tpu"
         )
+        # knob (DMF_FLASH_ATTN / ServingKernelConfig.flash_attention):
+        # False forces the XLA path for A/B sweeps; True only ALLOWS
+        # dispatch — the shape-legality conditions above still bind
+        gate = flag("DMF_FLASH_ATTN", "flash_attention")
+        if gate is False:
+            use_pallas = False
 
     if use_pallas:
         from .flash_attention import flash_attention

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.modality import ModalityProcessor
-from ..data.pipeline import ArrayDataset, iterate_batches
+from ..data.pipeline import ArrayDataset, device_data_auto, iterate_batches
 from ..evals.metrics import MeanMetric, classification_report
 from ..losses import get_classification_loss_fn, get_mask_loss_fn
 from ..utils.checkpoint import BestCheckpointer, RollingSaver
@@ -186,6 +186,11 @@ def fit_single(
     val_ds = ArrayDataset(
         imgs=val_imgs, masks=val_data.get("masks"), labels=val_data["labels"]
     )
+    # HBM-resident data (auto on TPU when the split fits): removes the
+    # per-step host->device batch transfer; mesh runs keep the sharded
+    # host-prefetch path
+    stage_data = mesh is None and device_data_auto(train_ds, cfg.device_data)
+    stage_val = mesh is None and device_data_auto(val_ds, cfg.device_data)
 
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.RandomState(seed)
@@ -213,9 +218,11 @@ def fit_single(
         # parity with the single-device short-batch step is tested at
         # tests/test_spmd_loop.py (TestTailBatchSemantics).
         train_meters: Dict[str, MeanMetric] = {}
+        pending = []  # (device metrics, valid) per step; ONE epoch-end sync
+        epoch_step0 = global_step
         for batch in iterate_batches(
             train_ds, cfg.batch_size, shuffle=True, rng=np_rng,
-            native=cfg.use_native_loader,
+            native=cfg.use_native_loader, device=stage_data,
             pad_to_batch=False, pad_to_multiple=n_data, sharding=batch_sh,
         ):
             if isinstance(scheduler, WarmupCosine):
@@ -241,13 +248,17 @@ def fit_single(
 
                 print(input_stats(proc["imgs"], proc.get("masks")))
             state, metrics = train_step(state, proc, drop_key, hp)
-            # one transfer per step (per-metric float() would block 8x)
-            metrics = jax.device_get(metrics)
-            _warn_nonfinite(metrics, epoch, global_step)
+            # defer the metrics transfer: a per-step device_get costs a
+            # host round trip per step (an RTT over a tunneled TPU) and
+            # blocks dispatch pipelining; scalars are fetched in ONE
+            # epoch-end sync below
+            pending.append((metrics, batch["valid"]))
+        for i, (metrics, valid) in enumerate(jax.device_get(pending)):
+            _warn_nonfinite(metrics, epoch, epoch_step0 + i + 1)
             # weight by the number of unique samples: step metrics are
             # means over valid rows (padded duplicates already excluded),
             # so the epoch meter is the exact per-sample mean
-            w = float(np.asarray(jax.device_get(batch["valid"])).sum())
+            w = float(np.asarray(valid).sum())
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
 
@@ -261,7 +272,7 @@ def fit_single(
         val_meters: Dict[str, MeanMetric] = {}
         all_probs, all_labels = [], []
         for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False,
-                                     sharding=batch_sh):
+                                     device=stage_val, sharding=batch_sh):
             proc = {"imgs": batch["imgs"],
                     "labels": batch["labels"].astype(jnp.int32),
                     # exact padded-tail val metrics (make_single_eval_step)
@@ -428,6 +439,9 @@ def fit_fusion(
         dwi=val_data["dwi"], dce=val_data["dce"],
         masks=val_data.get("masks"), labels=val_data["labels"],
     )
+    # HBM-resident data (see fit_single)
+    stage_data = mesh is None and device_data_auto(train_ds, cfg.device_data)
+    stage_val = mesh is None and device_data_auto(val_ds, cfg.device_data)
 
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.RandomState(seed)
@@ -445,9 +459,12 @@ def fit_fusion(
         )
 
         train_meters: Dict[str, MeanMetric] = {}
+        pending = []  # (device metrics, valid); ONE epoch-end sync
+        epoch_step0 = global_step
         for batch in iterate_batches(train_ds, cfg.batch_size, shuffle=True,
                                      rng=np_rng,
                                      native=cfg.use_native_loader,
+                                     device=stage_data,
                                      pad_to_batch=False,
                                      pad_to_multiple=n_data,
                                      sharding=batch_sh):
@@ -471,9 +488,11 @@ def fit_fusion(
 
                 print(input_stats(proc["dwi"], proc.get("masks")))
             state, metrics = train_step(state, proc, drop_key, hp)
-            metrics = jax.device_get(metrics)  # one transfer per step
-            _warn_nonfinite(metrics, epoch, global_step)
-            w = float(np.asarray(jax.device_get(batch["valid"])).sum())
+            # deferred metrics transfer (see fit_single): no per-step sync
+            pending.append((metrics, batch["valid"]))
+        for i, (metrics, valid) in enumerate(jax.device_get(pending)):
+            _warn_nonfinite(metrics, epoch, epoch_step0 + i + 1)
+            w = float(np.asarray(valid).sum())
             for k, v in metrics.items():
                 train_meters.setdefault(k, MeanMetric()).update(float(v), weight=w)
         epoch_metrics = {f"train_{k}": m.compute() for k, m in train_meters.items()}
@@ -483,7 +502,7 @@ def fit_fusion(
         val_meters: Dict[str, MeanMetric] = {}
         all_probs, all_labels = [], []
         for batch in iterate_batches(val_ds, cfg.batch_size, shuffle=False,
-                                     sharding=batch_sh):
+                                     device=stage_val, sharding=batch_sh):
             proc = {
                 "dwi": batch["dwi"], "dce": batch["dce"],
                 "labels": batch["labels"].astype(jnp.int32),
