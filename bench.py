@@ -501,7 +501,10 @@ def main() -> None:
 
     cfg = default_parameters(batch_size=args.batch)
     if args.native_loader:
-        cfg = cfg.replace(use_native_loader=True)
+        # the C++ loader is a HOST-path feature (threaded gather +
+        # prefetch); disable device residency so the A/B compares it
+        # against the Python host path, not against no-transfer-at-all
+        cfg = cfg.replace(use_native_loader=True, device_data=False)
     from dmf_tpu.ops import kernel_gates
 
     kernel_gates.configure(cfg.serving_kernels)
