@@ -791,13 +791,17 @@ def main() -> None:
         fp_apply = make_fusion_apply(dwi, dce, fusion)
         dx, cx = jax.jit(preprocess)(dwi_raw, dce_raw)
 
-        @jax.jit
-        def _logit_pair(variables, dx, cx):
-            l_fp = fp_apply(variables, dx, cx, train=False)[0]
-            l_q = apply_fn(variables, dx, cx, train=False)[0]
-            return l_fp.astype(jnp.float32), l_q.astype(jnp.float32)
-
-        l_fp, l_q = map(np.asarray, _logit_pair(variables, dx, cx))
+        # two separate compiles on purpose: the COMBINED fp+int8 program at
+        # B=32 crashes this image's TPU compiler outright (remote_compile
+        # HTTP 500, reproduced in isolation r5) while each half compiles
+        # fine — and the B=128 combined form compiled, so it's a
+        # program-size/shape-specific compiler fault, not a semantics issue
+        l_fp = np.asarray(jax.jit(
+            lambda v, a, b: fp_apply(v, a, b, train=False)[0]
+            .astype(jnp.float32))(variables, dx, cx))
+        l_q = np.asarray(jax.jit(
+            lambda v, a, b: apply_fn(v, a, b, train=False)[0]
+            .astype(jnp.float32))(variables, dx, cx))
         result["int8_agreement"] = round(
             float((l_fp.argmax(-1) == l_q.argmax(-1)).mean()), 4)
         result["max_logit_err"] = round(float(np.abs(l_fp - l_q).max()), 4)

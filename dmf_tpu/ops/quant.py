@@ -275,7 +275,14 @@ def make_quantized_fusion_fwd(dwi_model, dce_model, fusion_model, qsets):
 
     def fwd(dwi_vars, dce_vars, fusion_vars, dwi_x, dce_x, mc, rng,
             prefixes=None):
-        rngs = {"dropout": rng} if rng is not None else None
+        from ..evals.predict import _dropout_key
+
+        # ride the hardware bit-generator dropout keys like the fp default
+        # and the hybrid fwd (DMF_MC_RBG, measured 92.5->96.1 on the fp
+        # path) — without this the int8 ensemble silently reverted to
+        # threefry VPU mask math AND drew a different dropout stream than
+        # the fp path it is compared against
+        rngs = {"dropout": _dropout_key(rng)} if rng is not None else None
         pre_d, pre_c = prefixes if prefixes is not None else (None, None)
         _, dwi_aux, dwi_mask = quantized_apply(
             dwi_model, dwi_vars, qsets["dwi"], dwi_x,
